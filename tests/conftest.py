@@ -1,0 +1,31 @@
+"""Test harness configuration (SURVEY §4).
+
+Tests run on the host CPU with an 8-device virtual mesh
+(``--xla_force_host_platform_device_count=8``) so every ``shard_map`` code
+path exercised here is the same one that runs over real ICI on a pod slice.
+f64 is enabled so analytic-vs-numeric Jacobian checks and oracle-parity
+assertions can use tight (1e-9-ish) tolerances.
+
+This file must set the environment BEFORE jax is imported anywhere.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
