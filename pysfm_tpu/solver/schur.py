@@ -1,0 +1,205 @@
+"""Block normal equations + Schur-complement reduction, batched for TPU.
+
+Reference analog (SURVEY §2 "Bundle adjuster (LM + Schur)", §3.1): build
+block-sparse normal equations (per-camera blocks Hcc, per-point 3x3 blocks
+Hpp, coupling blocks Hcp over the visibility graph), damp the block
+diagonals, eliminate points via the Schur complement
+``S = Hcc - Hcp Hpp^-1 Hcp^T``, solve the reduced camera system, and
+back-substitute the point updates.
+
+TPU design (SURVEY §3.1 "TPU mapping", §7):
+
+- Per-observation blocks are built in one batched expression and reduced
+  with ``segment_sum`` — no Python loops over measurements.
+- Hpp inversion is a closed-form batched 3x3 adjugate (no LAPACK calls).
+- The reduced camera matrix S is assembled with a single dense matmul over
+  a scattered ``[P, C*CP, 3]`` operand ("dense-W" regime, MXU-friendly) for
+  small/medium camera counts, or matrix-free via PCG for large ones
+  (:mod:`pysfm_tpu.solver.pcg`).
+- Zero diagonal blocks (gauge-fixed cameras, padding points) are filled
+  with identity so every factorization exists; their gradients are zero so
+  the corresponding steps are exactly zero.
+
+Sign conventions: ``g = J^T W r`` and the Newton system is
+``[Hcc Hcp; Hcp^T Hpp] [dc; dp] = -[gc; gp]``, so the returned
+``(dc, dp)`` are the steps to *add* to the parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NormalEqs(NamedTuple):
+    """Undamped block normal equations + per-observation coupling blocks."""
+
+    Hcc: jnp.ndarray   # [C, CP, CP]
+    Hpp: jnp.ndarray   # [P, 3, 3]
+    g_c: jnp.ndarray   # [C, CP]
+    g_p: jnp.ndarray   # [P, 3]
+    B: jnp.ndarray     # [M, CP, 3]  per-obs Jc^T W Jp (Hcp blocks)
+
+
+def build_normal_equations(
+    r: jnp.ndarray,
+    J_cam: jnp.ndarray,
+    J_pt: jnp.ndarray,
+    w: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+    n_cameras: int,
+    n_points: int,
+) -> NormalEqs:
+    """Accumulate J^T W J and J^T W r blockwise (SURVEY §3.1 HOT loop 3)."""
+    wJc = J_cam * w[:, None, None]
+    wJp = J_pt * w[:, None, None]
+    wr = r * w[:, None]
+
+    hcc_m = jnp.einsum("mic,mid->mcd", J_cam, wJc)
+    hpp_m = jnp.einsum("mip,miq->mpq", J_pt, wJp)
+    b_m = jnp.einsum("mic,mip->mcp", J_cam, wJp)
+    gc_m = jnp.einsum("mic,mi->mc", J_cam, wr)
+    gp_m = jnp.einsum("mip,mi->mp", J_pt, wr)
+
+    Hcc = jax.ops.segment_sum(hcc_m, obs_cam, num_segments=n_cameras)
+    Hpp = jax.ops.segment_sum(hpp_m, obs_pt, num_segments=n_points)
+    g_c = jax.ops.segment_sum(gc_m, obs_cam, num_segments=n_cameras)
+    g_p = jax.ops.segment_sum(gp_m, obs_pt, num_segments=n_points)
+    return NormalEqs(Hcc=Hcc, Hpp=Hpp, g_c=g_c, g_p=g_p, B=b_m)
+
+
+def augment_block_diag(H: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """LM damping: H + lam * diag(H), with unit fill on exactly-zero diagonal
+    entries (gauge-fixed cameras / unobserved or padding points) so the block
+    stays invertible; those blocks have zero gradient, hence zero step."""
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)
+    fill = jnp.where(d == 0, jnp.ones_like(d), jnp.zeros_like(d))
+    aug = lam * d + fill
+    idx = jnp.arange(H.shape[-1])
+    return H.at[..., idx, idx].add(aug)
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse via the adjugate (no LAPACK)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A00, A01, A02], axis=-1),
+            jnp.stack([A10, A11, A12], axis=-1),
+            jnp.stack([A20, A21, A22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def scatter_coupling_dense(
+    B: jnp.ndarray, obs_cam: jnp.ndarray, obs_pt: jnp.ndarray,
+    n_cameras: int, n_points: int,
+) -> jnp.ndarray:
+    """Assemble the dense per-point coupling operand W [P, C*CP, 3].
+
+    W[p] is the p-th block-column of Hcp.  Memory is P*C*CP*3 — the
+    "dense-W" regime is for small/medium C (the two-view / windowed /
+    50-camera configs); large problems use the matrix-free path.
+    """
+    M, CP, _ = B.shape
+    W = jnp.zeros((n_points, n_cameras, CP, 3), dtype=B.dtype)
+    W = W.at[obs_pt, obs_cam].add(B)
+    return W.reshape(n_points, n_cameras * CP, 3)
+
+
+class SchurSystem(NamedTuple):
+    S: jnp.ndarray         # [C*CP, C*CP] reduced camera matrix (damped)
+    rhs: jnp.ndarray       # [C*CP]
+    Hpp_inv: jnp.ndarray   # [P, 3, 3] damped inverse (for back-substitution)
+    W: jnp.ndarray         # [P, C*CP, 3] coupling operand
+    g_p: jnp.ndarray       # [P, 3]
+
+
+def reduce_dense(
+    eqs: NormalEqs,
+    lam: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+) -> SchurSystem:
+    """Schur reduction, dense-W regime (SURVEY §3.1 HOT loop: per-point
+    3x3 inverse + outer products -> here one big MXU matmul)."""
+    C, CP, _ = eqs.Hcc.shape
+    P = eqs.Hpp.shape[0]
+    Hcc_aug = augment_block_diag(eqs.Hcc, lam)
+    Hpp_aug = augment_block_diag(eqs.Hpp, lam)
+    Hpp_inv = inv3x3(Hpp_aug)
+
+    W = scatter_coupling_dense(eqs.B, obs_cam, obs_pt, C, P)   # [P, CCP, 3]
+    Y = jnp.einsum("pas,pst->pat", W, Hpp_inv)                  # [P, CCP, 3]
+    # S = blockdiag(Hcc_aug) - sum_p Y_p W_p^T : one [CCP, 3P] x [3P, CCP]
+    # contraction -> MXU.
+    S = -jnp.einsum("pas,pbs->ab", Y, W)
+    idx = jnp.arange(C * CP).reshape(C, CP)
+    S = S.at[idx[:, :, None], idx[:, None, :]].add(Hcc_aug)
+    rhs = -eqs.g_c.reshape(-1) + jnp.einsum("pas,ps->a", Y, eqs.g_p)
+    return SchurSystem(S=S, rhs=rhs, Hpp_inv=Hpp_inv, W=W, g_p=eqs.g_p)
+
+
+def solve_reduced(system: SchurSystem) -> jnp.ndarray:
+    """Solve S dc = rhs. S is symmetric positive definite after damping +
+    identity fill; Cholesky on device (SURVEY §3.1 'dense solve, O(C^3)')."""
+    S = 0.5 * (system.S + system.S.T)
+    L, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+    return jax.scipy.linalg.cho_solve((L, lower), system.rhs)
+
+
+def back_substitute(system: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
+    """dp = -Hpp^-1 (g_p + Hcp^T dc), per point (SURVEY §3.1)."""
+    Wt_dc = jnp.einsum("pas,a->ps", system.W, dc)           # [P, 3]
+    return -jnp.einsum("pst,pt->ps", system.Hpp_inv, system.g_p + Wt_dc)
+
+
+def solve_step_dense(
+    eqs: NormalEqs,
+    lam: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One damped Gauss-Newton step via dense Schur: returns (dc [C,CP], dp [P,3])."""
+    system = reduce_dense(eqs, lam, obs_cam, obs_pt)
+    dc = solve_reduced(system)
+    dp = back_substitute(system, dc)
+    C, CP, _ = eqs.Hcc.shape
+    return dc.reshape(C, CP), dp
+
+
+def predicted_reduction(
+    eqs: NormalEqs, lam: jnp.ndarray, dc: jnp.ndarray, dp: jnp.ndarray
+) -> jnp.ndarray:
+    """LM model reduction L(0) - L(d) = 0.5 * d^T (lam*D d - g) for the step
+    solving (H + lam D) d = -g with Marquardt scaling D = diag(H) (+ fill).
+
+    Identical formula in the NumPy oracle so gain ratios match bitwise-ish.
+    """
+    d_cc = jnp.diagonal(eqs.Hcc, axis1=-2, axis2=-1)
+    d_pp = jnp.diagonal(eqs.Hpp, axis1=-2, axis2=-1)
+    fill_c = jnp.where(d_cc == 0, 1.0, 0.0)
+    fill_p = jnp.where(d_pp == 0, 1.0, 0.0)
+    dDd = jnp.sum((lam * d_cc + fill_c) * dc * dc) + jnp.sum(
+        (lam * d_pp + fill_p) * dp * dp
+    )
+    dg = jnp.sum(dc * eqs.g_c) + jnp.sum(dp * eqs.g_p)
+    return 0.5 * (dDd - dg)

@@ -1,0 +1,30 @@
+"""Typed configuration (SURVEY §5 "Config / flag system": the reference has
+none — constructor args and script constants; here a small explicit
+dataclass the whole framework shares)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Levenberg-Marquardt settings (static under jit — changing any field
+    triggers one recompile, which is the intended trade for a fully
+    on-device loop)."""
+
+    max_iters: int = 50
+    # Initial damping and Nielsen trust-region constants (SURVEY §3.1
+    # "accept if cost down (lam/=k) else revert (lam*=k)" — we use the
+    # smoother Nielsen schedule; the NumPy oracle matches it exactly).
+    lam0: float = 1e-4
+    lam_min: float = 1e-12
+    lam_max: float = 1e10
+    # Convergence: infinity-norm of the gradient, relative cost decrease,
+    # and step norm (SURVEY §3.1 "convergence check").
+    tol_grad: float = 1e-10
+    tol_cost_rel: float = 1e-12
+    tol_step: float = 1e-12
+    # Re-orthonormalize rotations every k accepted steps (0 = never);
+    # fights f32 drift of the multiplicative updates on TPU.
+    renormalize_every: int = 0
