@@ -1,0 +1,86 @@
+"""Benchmark entry point (driver contract): prints ONE JSON line.
+
+Metric: on-device BA iterations/s on the robust-BA config from
+BASELINE.json ("50 cams, 10k points, Huber + outlier matches"), full LM
+iterations (residual+Jacobian build, normal equations, dense-W Schur
+reduction, reduced Cholesky solve, back-substitution, retraction,
+candidate cost + trust-region update) with tolerances zeroed so every run
+executes exactly ``ITERS`` iterations.
+
+``vs_baseline``: speedup of this framework over a reference-style
+pure-NumPy per-measurement LM implementation (tests/oracle_numpy.py — the
+stand-in for pysfm, which is itself a per-measurement NumPy codebase;
+SURVEY §0/§6: the reference publishes no numbers and the mount was empty)
+measured as BA-iterations/s ratio on pysfm's own two-view test-scene shape
+(2 cameras, 100 points, BASELINE config 1).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+ITERS = 30
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, ".")
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import LMConfig, solve
+
+    dev = jax.devices()[0]
+
+    # --- main metric: 50 cams / 10k points robust BA, f32 ------------------
+    sc = synthetic.make_scene(
+        50, 10_000, noise_px=0.5, outlier_frac=0.05, outlier_px=40.0,
+        visibility=0.3, robust="huber", robust_scale=2.0, seed=42,
+        dtype=np.float32,
+    )
+    cfg = LMConfig(max_iters=ITERS, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0)
+    # Warm-up / compile.
+    jax.block_until_ready(solve(sc.problem, cfg))
+    t0 = time.perf_counter()
+    jax.block_until_ready(solve(sc.problem, cfg))
+    dt = time.perf_counter() - t0
+    iters_per_s = ITERS / dt
+
+    # --- vs_baseline: two-view scene, jax vs NumPy oracle ------------------
+    sc2 = synthetic.make_scene(2, 100, noise_px=0.5, seed=1, dtype=np.float32)
+    jax.block_until_ready(solve(sc2.problem, cfg))
+    t0 = time.perf_counter()
+    jax.block_until_ready(solve(sc2.problem, cfg))
+    jax_two_view = ITERS / (time.perf_counter() - t0)
+
+    sys.path.insert(0, "tests")
+    from oracle_numpy import Oracle
+
+    p2 = sc2.problem
+    oracle = Oracle(
+        p2.camera_model,
+        np.asarray(p2.R), np.asarray(p2.t), np.asarray(p2.intr),
+        np.asarray(p2.X), np.asarray(p2.obs_cam), np.asarray(p2.obs_pt),
+        np.asarray(p2.obs_uv),
+    )
+    n_oracle = 3
+    t0 = time.perf_counter()
+    oracle.optimize(max_iters=n_oracle, tol_grad=0.0, tol_cost_rel=0.0,
+                    tol_step=0.0)
+    oracle_two_view = n_oracle / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "ba_iters_per_s_50cam_10kpt_robust",
+        "value": round(iters_per_s, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(jax_two_view / oracle_two_view, 3),
+        "device": str(dev),
+        "two_view_iters_per_s": round(jax_two_view, 3),
+        "oracle_two_view_iters_per_s": round(oracle_two_view, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,16 +84,16 @@ def build_point_obs_table(
     counts = np.bincount(obs_pt, minlength=n_points)
     k = int(counts.max(initial=1)) if max_track is None else int(max_track)
     order = np.argsort(obs_pt, kind="stable")
+    sorted_pt = obs_pt[order]
+    # Rank of each observation within its point group (vectorized).
+    group_start = np.zeros(n_points + 1, dtype=np.int64)
+    np.cumsum(counts, out=group_start[1:])
+    pos = np.arange(obs_pt.shape[0]) - group_start[sorted_pt]
+    valid = pos < k
     table = np.zeros((n_points, k), dtype=np.int32)
     mask = np.zeros((n_points, k), dtype=bool)
-    slot = np.zeros(n_points, dtype=np.int64)
-    for idx in order:
-        p = obs_pt[idx]
-        s = slot[p]
-        if s < k:
-            table[p, s] = idx
-            mask[p, s] = True
-            slot[p] = s + 1
+    table[sorted_pt[valid], pos[valid]] = order[valid]
+    mask[sorted_pt[valid], pos[valid]] = True
     return table, mask
 
 

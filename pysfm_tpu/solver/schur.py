@@ -138,23 +138,42 @@ def reduce_dense(
     lam: jnp.ndarray,
     obs_cam: jnp.ndarray,
     obs_pt: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> SchurSystem:
     """Schur reduction, dense-W regime (SURVEY §3.1 HOT loop: per-point
-    3x3 inverse + outer products -> here one big MXU matmul)."""
+    3x3 inverse + outer products -> here one big MXU matmul).
+
+    With ``axis_name`` set (inside ``shard_map``), points and their
+    observations are chip-local shards while cameras are replicated: the
+    camera-sized quantities (Hcc, g_c, the partial reduced system S and its
+    rhs) are ``psum``'d over ICI while point-sized state never moves —
+    SURVEY §2 "Point-sharded Schur elimination" / §5 long-context analog.
+    """
     C, CP, _ = eqs.Hcc.shape
     P = eqs.Hpp.shape[0]
-    Hcc_aug = augment_block_diag(eqs.Hcc, lam)
+    Hcc = eqs.Hcc
+    g_c = eqs.g_c
+    if axis_name is not None:
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        g_c = jax.lax.psum(g_c, axis_name)
+    Hcc_aug = augment_block_diag(Hcc, lam)
     Hpp_aug = augment_block_diag(eqs.Hpp, lam)
     Hpp_inv = inv3x3(Hpp_aug)
 
     W = scatter_coupling_dense(eqs.B, obs_cam, obs_pt, C, P)   # [P, CCP, 3]
     Y = jnp.einsum("pas,pst->pat", W, Hpp_inv)                  # [P, CCP, 3]
     # S = blockdiag(Hcc_aug) - sum_p Y_p W_p^T : one [CCP, 3P] x [3P, CCP]
-    # contraction -> MXU.
+    # contraction -> MXU.  The -YW^T part is a per-chip partial; one psum
+    # of the camera-sized S combines chips (the single ICI collective per
+    # Schur reduction, SURVEY §2 "Camera-replicated reduced solve").
     S = -jnp.einsum("pas,pbs->ab", Y, W)
+    rhs_red = jnp.einsum("pas,ps->a", Y, eqs.g_p)
+    if axis_name is not None:
+        S = jax.lax.psum(S, axis_name)
+        rhs_red = jax.lax.psum(rhs_red, axis_name)
     idx = jnp.arange(C * CP).reshape(C, CP)
     S = S.at[idx[:, :, None], idx[:, None, :]].add(Hcc_aug)
-    rhs = -eqs.g_c.reshape(-1) + jnp.einsum("pas,ps->a", Y, eqs.g_p)
+    rhs = -g_c.reshape(-1) + rhs_red
     return SchurSystem(S=S, rhs=rhs, Hpp_inv=Hpp_inv, W=W, g_p=eqs.g_p)
 
 
@@ -177,9 +196,15 @@ def solve_step_dense(
     lam: jnp.ndarray,
     obs_cam: jnp.ndarray,
     obs_pt: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One damped Gauss-Newton step via dense Schur: returns (dc [C,CP], dp [P,3])."""
-    system = reduce_dense(eqs, lam, obs_cam, obs_pt)
+    """One damped Gauss-Newton step via dense Schur: returns (dc [C,CP], dp [P,3]).
+
+    Under ``axis_name``, dc is replicated across chips (S and rhs are
+    psum'd so every chip solves the identical reduced system) and dp is the
+    chip-local point shard's update.
+    """
+    system = reduce_dense(eqs, lam, obs_cam, obs_pt, axis_name)
     dc = solve_reduced(system)
     dp = back_substitute(system, dc)
     C, CP, _ = eqs.Hcc.shape
@@ -187,19 +212,29 @@ def solve_step_dense(
 
 
 def predicted_reduction(
-    eqs: NormalEqs, lam: jnp.ndarray, dc: jnp.ndarray, dp: jnp.ndarray
+    eqs: NormalEqs,
+    lam: jnp.ndarray,
+    dc: jnp.ndarray,
+    dp: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """LM model reduction L(0) - L(d) = 0.5 * d^T (lam*D d - g) for the step
     solving (H + lam D) d = -g with Marquardt scaling D = diag(H) (+ fill).
 
     Identical formula in the NumPy oracle so gain ratios match bitwise-ish.
+    Under ``axis_name``: camera terms use the psum'd Hcc/g_c; point terms
+    are summed locally then psum'd.
     """
-    d_cc = jnp.diagonal(eqs.Hcc, axis1=-2, axis2=-1)
+    Hcc, g_c = eqs.Hcc, eqs.g_c
+    if axis_name is not None:
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        g_c = jax.lax.psum(g_c, axis_name)
+    d_cc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
     d_pp = jnp.diagonal(eqs.Hpp, axis1=-2, axis2=-1)
     fill_c = jnp.where(d_cc == 0, 1.0, 0.0)
     fill_p = jnp.where(d_pp == 0, 1.0, 0.0)
-    dDd = jnp.sum((lam * d_cc + fill_c) * dc * dc) + jnp.sum(
-        (lam * d_pp + fill_p) * dp * dp
-    )
-    dg = jnp.sum(dc * eqs.g_c) + jnp.sum(dp * eqs.g_p)
-    return 0.5 * (dDd - dg)
+    cam_term = jnp.sum((lam * d_cc + fill_c) * dc * dc) - jnp.sum(dc * g_c)
+    pt_term = jnp.sum((lam * d_pp + fill_p) * dp * dp) - jnp.sum(dp * eqs.g_p)
+    if axis_name is not None:
+        pt_term = jax.lax.psum(pt_term, axis_name)
+    return 0.5 * (cam_term + pt_term)
