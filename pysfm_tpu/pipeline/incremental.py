@@ -1,0 +1,425 @@
+"""Incremental SfM driver (SURVEY §3.3, BASELINE config 2).
+
+Reference analog: the sequence pipeline — two-view bootstrap, then per
+keyframe: 2D-3D resection (RANSAC'd PnP), triangulate newly-visible tracks,
+windowed or full bundle adjustment.
+
+TPU split (SURVEY §3.3 boundary note): per-keyframe orchestration runs on
+the host (Python state machine, small bookkeeping), every inner solve is a
+batched device computation (batched-hypothesis RANSAC, masked multi-view
+DLT, on-device LM).
+
+Static-shape discipline (SURVEY §7 "Irregular visibility graph"): every
+device computation in the incremental loop runs at a FIXED shape for the
+whole reconstruction —
+
+- the BA problem always carries all ``F`` cameras, all ``T`` tracks and all
+  ``M = vis.sum()`` potential observations; registration/triangulation
+  status is expressed through ``obs_w``/``cam_fixed`` masks, so each LM
+  solve reuses one compiled executable instead of recompiling per keyframe;
+- RANSAC inputs (epipolar + PnP) are padded to multiples of 32 with
+  zero-weight rows;
+- multi-view triangulation always spans all ``F`` views with a mask.
+
+Robustness beyond the reference:
+
+- init-pair selection: the bootstrap pair is chosen by essential-matrix
+  inlier count *gated on median parallax* — a low-parallax pair yields a
+  quasi-degenerate (forward-translation) pose that poisons the whole map;
+- a minimum triangulation-angle gate at point creation and in post-BA
+  hygiene (depth-ill-conditioned points drift to infinity and drag LM into
+  the rotation-only degeneracy);
+- scale-gauge renormalization after every BA (first camera frozen, baseline
+  of the init pair rescaled to 1) instead of freezing a second camera.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysfm_tpu.frontend import epipolar, p3p, ransac, triangulate
+from pysfm_tpu.problem import BundleProblem, make_problem
+from pysfm_tpu.solver import solve
+from pysfm_tpu.utils.config import LMConfig as _LMConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class IncrementalConfig:
+    window: int = 5                  # cameras optimized in windowed BA
+    ransac_hypotheses: int = 256
+    epipolar_threshold: float = 1e-6   # Sampson (normalized coords, squared)
+    pnp_threshold: float = 1e-5        # squared normalized-coord residual
+    min_track_views: int = 2
+    min_pnp_points: int = 5
+    ba_iters_window: int = 10
+    ba_iters_final: int = 30
+    # Post-BA hygiene: deactivate observations with reprojection error above
+    # an adaptive threshold clip(4 * 1.4826 * MAD, min_reproj_px,
+    # max_reproj_px); points left with < min_track_views views lose their
+    # 3-D status (and may be re-triangulated later from clean views).  The
+    # MAD-based noise estimate tracks the actual detector jitter instead of
+    # assuming a fixed pixel noise.
+    max_reproj_px: float = 4.0
+    min_reproj_px: float = 0.3
+    # Minimum triangulation (parallax) angle, degrees: a point whose
+    # observing rays subtend less than this has ill-conditioned depth and
+    # drifts toward infinity under BA.  Gated at creation and in hygiene.
+    min_tri_angle_deg: float = 1.0
+    # Init-pair selection: candidate pairs ranked by common-track count;
+    # the chosen pair needs its RANSAC-inlier median parallax above
+    # ``init_min_parallax_deg``.  This is deliberately much stricter than
+    # the per-point gate: a marginal-parallax pair admits the
+    # rotation-only/forward-translation degenerate pose, and two-view BA
+    # then collapses the map (small-baseline scenes fit ANY epipolar
+    # geometry to noise level).  COLMAP uses ~16 deg for the same reason.
+    init_max_pairs: int = 20
+    init_min_parallax_deg: float = 4.0
+    # Robust kernel: Cauchy by default.  Huber's convex linear tail still
+    # lets a mismatched track pull cameras toward itself; the redescending
+    # Cauchy weight ~ 1/r^2 makes gross outliers inert, which proved the
+    # difference between ATE ~0.5 and ~0.04 on the tracked-video tests.
+    robust: str = "cauchy"
+    robust_scale: float = 0.5
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    """Host-side result: the final (globally adjusted) problem + history.
+
+    ``problem`` carries ALL frames/tracks at static shape; inactive
+    observations have ``obs_w == 0`` and unregistered cameras are frozen at
+    identity.  ``registered``/``has_point`` give the live subsets.
+    """
+
+    problem: BundleProblem
+    registered: np.ndarray          # [F] bool
+    has_point: np.ndarray           # [T] bool
+    stats: dict
+
+
+def _pad_count(n: int, mult: int = 32) -> int:
+    """Static-shape bucket for RANSAC inputs (avoids per-call recompiles)."""
+    return max(mult, int(np.ceil(n / mult)) * mult)
+
+
+def _max_tri_angle(X_pts, R, t, obs_mask):
+    """Max pairwise parallax angle (rad) subtended at each point by its
+    observing camera centers.  X_pts [P,3]; R [F,3,3]; t [F,3];
+    obs_mask [F,P] bool.  Host-side bookkeeping (small)."""
+    C = -np.einsum("fij,fi->fj", R, t)                     # [F, 3] centers
+    d = X_pts[None, :, :] - C[:, None, :]                  # [F, P, 3]
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    cosang = np.einsum("fpk,gpk->fgp", d, d)               # [F, F, P]
+    pair_ok = obs_mask[:, None, :] & obs_mask[None, :, :]
+    cosang = np.where(pair_ok, cosang, 1.0)
+    return np.arccos(np.clip(cosang.min(axis=(0, 1)), -1.0, 1.0))  # [P]
+
+
+def _two_view(key, pn1, pn2, w, cfg):
+    """Padded essential-matrix RANSAC + pose selection for one pair.
+
+    Returns (R2, t2, inliers [N] bool over the padded axis, Xtri [N,3]).
+    """
+    def fit(_, wfit):
+        return epipolar.eight_point(pn1, pn2, w=wfit, essential=True)
+
+    def score(E):
+        return epipolar.sampson_distance(E, pn1, pn2)
+
+    res = ransac.ransac(
+        key, pn1.shape[0], fit, score,
+        sample_size=8, n_hypotheses=cfg.ransac_hypotheses,
+        threshold=cfg.epipolar_threshold, data_weights=w,
+    )
+    R2, t2, _, Xtri = epipolar.select_pose(
+        res.model, pn1, pn2, w=res.inliers.astype(pn1.dtype)
+    )
+    return R2, t2, res.inliers, Xtri
+
+
+def run_incremental(
+    uv: np.ndarray,        # [F, T, 2] pixel measurement of track t in frame f
+    vis: np.ndarray,       # [F, T] bool visibility
+    intr: np.ndarray,      # [F, I] intrinsics per frame
+    camera_model: str = "pose",
+    config: IncrementalConfig = IncrementalConfig(),
+) -> Reconstruction:
+    """Run the full incremental pipeline on a track table.
+
+    Bootstraps from the best-conditioned frame pair (inliers x parallax),
+    then registers remaining frames next-best-view first.
+    """
+    F, T = vis.shape
+    cfg = config
+    key = jax.random.PRNGKey(cfg.seed)
+    uv_j = jnp.asarray(uv)
+    intr_j = jnp.asarray(intr)
+
+    # Normalized coordinates for every (frame, track) — batched, once.
+    pn_all = np.asarray(
+        triangulate.pixel_to_normalized(
+            camera_model, intr_j[:, None, :], uv_j
+        )
+    )                                                     # [F, T, 2]
+
+    R = np.tile(np.eye(3), (F, 1, 1))
+    t = np.zeros((F, 3))
+    X = np.zeros((T, 3))
+    X[:, 2] = 10.0  # safe depth for padding rows (keeps projection finite)
+    registered = np.zeros(F, bool)
+    has_pt = np.zeros(T, bool)
+    # `active` masks observations considered live; post-BA filtering turns
+    # off high-residual ones (they never return).
+    active = vis.copy()
+    stats = {"bootstrap_inliers": 0, "init_pair": None, "init_pairs_tried": [],
+             "pnp_inliers": [], "ba_costs": [], "filtered_obs": 0,
+             "pnp_candidates": []}
+
+    # Static observation list for every BA problem in this run.
+    ff_all, tt_all = np.nonzero(vis)
+
+    min_angle = np.deg2rad(cfg.min_tri_angle_deg)
+
+    # ---- init-pair selection + two-view bootstrap (SURVEY §3.2) -----------
+    counts = np.einsum("ft,gt->fg", vis.astype(np.int64), vis.astype(np.int64))
+    iu = np.triu_indices(F, k=1)
+    order = np.argsort(counts[iu])[::-1]
+    cand_pairs = [
+        (int(iu[0][k]), int(iu[1][k]))
+        for k in order[: cfg.init_max_pairs]
+        if counts[iu[0][k], iu[1][k]] >= 8
+    ]
+    if not cand_pairs:
+        raise ValueError("no frame pair shares >= 8 tracks")
+
+    best = None  # (score, i0, i1, idx, inl, R2, t2, Xtri, med_angle)
+    for (i0, i1) in cand_pairs:
+        idx = np.flatnonzero(vis[i0] & vis[i1])
+        n = len(idx)
+        npad = _pad_count(n)
+        pn1 = np.zeros((npad, 2))
+        pn2 = np.zeros((npad, 2))
+        pn1[:n] = pn_all[i0, idx]
+        pn2[:n] = pn_all[i1, idx]
+        w = np.zeros(npad)
+        w[:n] = 1.0
+        key, sub = jax.random.split(key)
+        R2, t2, inl, Xtri = _two_view(
+            sub, jnp.asarray(pn1), jnp.asarray(pn2), jnp.asarray(w), cfg
+        )
+        inl = np.asarray(inl) & (w > 0)
+        n_inl = int(inl.sum())
+        if n_inl < 8:
+            continue
+        R2n, t2n, Xn = np.asarray(R2), np.asarray(t2), np.asarray(Xtri)
+        Rpair = np.stack([np.eye(3), R2n])
+        tpair = np.stack([np.zeros(3), t2n])
+        ang = _max_tri_angle(
+            Xn[inl], Rpair, tpair, np.ones((2, n_inl), bool)
+        )
+        med = float(np.median(ang))
+        gate = np.deg2rad(cfg.init_min_parallax_deg)
+        score = n_inl * (1.0 if med >= gate else 0.0)
+        stats["init_pairs_tried"].append(
+            (i0, i1, n_inl, round(np.rad2deg(med), 2))
+        )
+        entry = (score, n_inl, i0, i1, idx, inl, R2n, t2n, Xn, ang)
+        if best is None or (score, n_inl) > (best[0], best[1]):
+            best = entry
+    if best is None:
+        raise ValueError("two-view bootstrap failed on every candidate pair")
+    _, n_inl, i0, i1, idx, inl, R2n, t2n, Xtri, ang = best
+    stats["init_pair"] = (i0, i1)
+    stats["bootstrap_inliers"] = n_inl
+
+    scale = max(float(np.linalg.norm(t2n)), 1e-12)
+    R[i1] = R2n
+    t[i1] = t2n / scale              # unit-baseline scale gauge
+    registered[i0] = registered[i1] = True
+    # Assign triangulated, parallax-gated inliers (padded axis -> track ids;
+    # `ang` was computed on the inlier subset, expand it back).
+    keep = inl.copy()
+    keep[inl] &= ang >= min_angle
+    ok_rows = np.flatnonzero(keep[: len(idx)])
+    X[idx[ok_rows]] = Xtri[ok_rows] / scale
+    has_pt[idx[ok_rows]] = True
+
+    def renormalize():
+        """Scale-gauge renormalization: similarity-rescale about the anchor
+        camera so the init-pair baseline keeps unit length (SURVEY §7
+        "gauge fixing under sharding" — host-side analog)."""
+        C0 = -R[i0].T @ t[i0]
+        C1 = -R[i1].T @ t[i1]
+        base = np.linalg.norm(C1 - C0)
+        if base < 1e-9:
+            return
+        s = 1.0 / base
+        reg = np.flatnonzero(registered)
+        C = -np.einsum("fij,fi->fj", R[reg], t[reg])
+        C = C0 + s * (C - C0)
+        t[reg] = -np.einsum("fij,fj->fi", R[reg], C)
+        live = has_pt
+        X[live] = C0 + s * (X[live] - C0)
+
+    def windowed_ba(final=False):
+        reg_idx = np.flatnonzero(registered)
+        fixed = np.ones(F, bool)
+        if final:
+            fixed[reg_idx] = False
+        else:
+            fixed[reg_idx[-cfg.window:]] = False
+        fixed[i0] = True  # gauge anchor (scale handled by renormalize())
+        obs_w = (
+            active[ff_all, tt_all] & registered[ff_all] & has_pt[tt_all]
+        ).astype(np.float64)
+        X_dev = np.where(has_pt[:, None], X, np.array([0.0, 0.0, 10.0]))
+        prob = make_problem(
+            R, t, intr, X_dev, ff_all, tt_all, uv[ff_all, tt_all],
+            camera_model=camera_model,
+            robust=cfg.robust, robust_scale=cfg.robust_scale,
+            cam_fixed=fixed | ~registered,
+            obs_w=obs_w,
+        )
+        iters = cfg.ba_iters_final if final else cfg.ba_iters_window
+        solved, st = solve(prob, _LMConfig(max_iters=iters))
+        stats["ba_costs"].append(float(np.asarray(st.costs)[-1]))
+        R[:] = np.asarray(solved.R)
+        t[:] = np.asarray(solved.t)
+        X[:] = np.asarray(solved.X)
+        renormalize()
+        # Hygiene (SURVEY §3.3): deactivate observations whose reprojection
+        # error exceeds the bound; demote points left under-observed.
+        from pysfm_tpu.geometry import projection as _proj
+
+        uv_hat = np.asarray(
+            _proj.project(
+                camera_model,
+                jnp.asarray(R[ff_all]), jnp.asarray(t[ff_all]),
+                jnp.asarray(intr[ff_all]), jnp.asarray(X[tt_all]),
+            )
+        )
+        err = np.linalg.norm(uv_hat - uv[ff_all, tt_all], axis=-1)
+        live = obs_w > 0
+        sigma = 1.4826 * np.median(err[live]) if live.any() else 0.0
+        thr = float(np.clip(4.0 * sigma, cfg.min_reproj_px, cfg.max_reproj_px))
+        bad = (err > thr) & live
+        if bad.any():
+            active[ff_all[bad], tt_all[bad]] = False
+            stats["filtered_obs"] += int(bad.sum())
+            view_counts = (active & registered[:, None]).sum(axis=0)
+            has_pt[view_counts < cfg.min_track_views] = False
+        # Demote points whose post-BA parallax has degenerated (drifting
+        # toward infinity); they may re-triangulate later from clean views.
+        live = np.flatnonzero(has_pt)
+        if len(live) > 0:
+            reg_i = np.flatnonzero(registered)
+            pang = _max_tri_angle(
+                X[live], R[reg_i], t[reg_i], active[reg_i][:, live]
+            )
+            has_pt[live[pang < min_angle]] = False
+        return solved
+
+    windowed_ba()
+
+    # ---- incremental loop (SURVEY §3.3), next-best-view order -------------
+    def try_register(f):
+        nonlocal key
+        usable = active[f] & has_pt
+        n_use = int(usable.sum())
+        stats["pnp_candidates"].append(n_use)
+        if n_use < cfg.min_pnp_points:
+            return False
+        uidx = np.flatnonzero(usable)
+        npad = _pad_count(n_use)
+        Xp = np.tile(np.array([0.0, 0.0, 10.0]), (npad, 1))
+        pnp_ = np.zeros((npad, 2))
+        wp = np.zeros(npad)
+        Xp[:n_use] = X[uidx]
+        pnp_[:n_use] = pn_all[f, uidx]
+        wp[:n_use] = 1.0
+        key, sub = jax.random.split(key)
+        Rf, tf, inliers = p3p.p3p_ransac(
+            sub, jnp.asarray(Xp), jnp.asarray(pnp_),
+            n_hypotheses=cfg.ransac_hypotheses,
+            threshold=cfg.pnp_threshold,
+            data_weights=jnp.asarray(wp),
+        )
+        inliers = np.asarray(inliers) & (wp > 0)
+        n_inl = int(inliers.sum())
+        stats["pnp_inliers"].append(n_inl)
+        if n_inl < cfg.min_pnp_points:
+            # Resection unreliable — skip this frame rather than poisoning
+            # the map with a garbage pose.
+            return False
+        R[f] = np.asarray(Rf)
+        t[f] = np.asarray(tf)
+        registered[f] = True
+
+        # Triangulate tracks newly visible in >= min_track_views registered
+        # frames (masked multi-view DLT over all F frames, static shape).
+        obs_reg = active & registered[:, None]              # [F, T]
+        counts_t = obs_reg.sum(axis=0)
+        new = (~has_pt) & (counts_t >= cfg.min_track_views) & active[f]
+        nidx = np.flatnonzero(new)
+        if len(nidx) > 0:
+            npadt = _pad_count(len(nidx), 16)
+            mask = np.zeros((npadt, F))
+            pn_sel = np.zeros((npadt, F, 2))
+            mask[: len(nidx)] = obs_reg[:, nidx].T
+            pn_sel[: len(nidx)] = pn_all[:, nidx].transpose(1, 0, 2)
+            Rj, tj = jnp.asarray(R), jnp.asarray(t)
+            Xn = jax.vmap(
+                lambda pn_v, m: triangulate.triangulate_linear(Rj, tj, pn_v, m)
+            )(jnp.asarray(pn_sel), jnp.asarray(mask))
+            # Cheirality screen: every observing view must see z > 0.
+            z = jax.vmap(lambda Xq: triangulate.depths(Rj, tj, Xq))(Xn)
+            good = np.array(
+                jnp.sum((z > 0) * mask, axis=1) >= jnp.sum(mask, axis=1)
+            )
+            good[: len(nidx)] &= mask[: len(nidx)].sum(axis=1) >= 2
+            good[len(nidx):] = False
+            # Parallax gate: reject depth-ill-conditioned triangulations.
+            Xn_np = np.asarray(Xn)
+            ang_n = _max_tri_angle(
+                Xn_np, R, t, (mask > 0).T & registered[:, None]
+            )
+            good &= ang_n >= min_angle
+            sel_rows = np.flatnonzero(good[: len(nidx)])
+            X[nidx[sel_rows]] = Xn_np[sel_rows]
+            has_pt[nidx[sel_rows]] = True
+
+        windowed_ba()
+        return True
+
+    remaining = [f for f in range(F) if not registered[f]]
+    progress = True
+    while progress and remaining:
+        progress = False
+        # Next-best-view: most usable 2D-3D correspondences first.
+        remaining.sort(key=lambda f: -(int((active[f] & has_pt).sum())))
+        for f in list(remaining):
+            if try_register(f):
+                remaining.remove(f)
+                progress = True
+
+    windowed_ba(final=True)
+    obs_w = (
+        active[ff_all, tt_all] & registered[ff_all] & has_pt[tt_all]
+    ).astype(np.float64)
+    X_dev = np.where(has_pt[:, None], X, np.array([0.0, 0.0, 10.0]))
+    fixed = ~registered.copy()
+    fixed[i0] = True
+    prob = make_problem(
+        R, t, intr, X_dev, ff_all, tt_all, uv[ff_all, tt_all],
+        camera_model=camera_model,
+        robust=cfg.robust, robust_scale=cfg.robust_scale,
+        cam_fixed=fixed, obs_w=obs_w,
+    )
+    return Reconstruction(
+        problem=prob, registered=registered, has_point=has_pt, stats=stats
+    )
