@@ -1,0 +1,22 @@
+"""I/O layer (SURVEY §2 "Bundle I/O", §5 checkpoint/resume, L5).
+
+- :mod:`pysfm_tpu.io.bal` — BAL problem files (BASELINE config 4 scale)
+- :mod:`pysfm_tpu.io.bundler` — Bundler ``.out`` v0.3 (reference interop)
+- :mod:`pysfm_tpu.io.checkpoint` — mid-solve checkpoint / resume
+- :mod:`pysfm_tpu.io.viz` — camera frusta / point cloud / overlay plots
+"""
+
+from pysfm_tpu.io.bal import load_bal, save_bal
+from pysfm_tpu.io.bundler import load_bundler, save_bundler
+from pysfm_tpu.io.checkpoint import (
+    SolverCheckpoint,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+__all__ = [
+    "load_bal", "save_bal", "load_bundler", "save_bundler",
+    "SolverCheckpoint", "save_checkpoint", "load_checkpoint",
+    "latest_checkpoint",
+]

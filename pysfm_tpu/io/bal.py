@@ -1,0 +1,120 @@
+"""BAL ("Bundle Adjustment in the Large") problem file I/O.
+
+Reference analog: ``bundle_io.py`` load/save of reconstruction problems
+(SURVEY §2 "Bundle I/O"; SURVEY §3.5 problem-load entry point).  The BAL
+text format is the de-facto interchange format for large BA problems
+(Agarwal et al., "Bundle Adjustment in the Large", ECCV 2010) and is the
+format of BASELINE config 4 (Ladybug/Venice scale).
+
+Format (whitespace-separated tokens; one value per line in the originals):
+
+    n_cameras n_points n_observations
+    cam_idx point_idx u v              # x n_observations
+    <9 params per camera>              # 3 Rodrigues, 3 translation, f, k1, k2
+    <3 coords per point>
+
+Convention: ``x_cam = R X + t`` with the camera looking down **-z**
+(projection is ``-p/z`` — see geometry/projection.py model "bal").
+
+The loader emits the device-ready SoA problem (SURVEY §3.5 "loader emits
+the device layout"): observations sorted by point, padded per-point
+visibility table built once, dtype selectable.  Supports ``.gz`` and ``.bz2``
+transparently (BAL distribution files ship bzip2'd).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io as _io
+from typing import Tuple
+
+import numpy as np
+
+from pysfm_tpu.geometry import so3
+from pysfm_tpu.problem import BundleProblem, make_problem
+
+
+def _open(path: str, mode: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    if str(path).endswith(".bz2"):
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
+def load_bal(
+    path: str,
+    *,
+    robust: str = "gaussian",
+    robust_scale: float = 1.0,
+    dtype=np.float64,
+    max_track: int | None = None,
+) -> BundleProblem:
+    """Load a BAL problem file into a :class:`BundleProblem`."""
+    with _open(path, "rb") as f:
+        tokens = np.array(f.read().split(), dtype=np.float64)
+    n_cam, n_pt, n_obs = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    k = 3
+    obs = tokens[k : k + 4 * n_obs].reshape(n_obs, 4)
+    k += 4 * n_obs
+    cams = tokens[k : k + 9 * n_cam].reshape(n_cam, 9)
+    k += 9 * n_cam
+    X = tokens[k : k + 3 * n_pt].reshape(n_pt, 3)
+
+    obs_cam = obs[:, 0].astype(np.int32)
+    obs_pt = obs[:, 1].astype(np.int32)
+    uv = obs[:, 2:4]
+
+    import jax.numpy as jnp
+
+    R = np.asarray(so3.exp(jnp.asarray(cams[:, 0:3])))
+    t = cams[:, 3:6]
+    intr = cams[:, 6:9]                       # f, k1, k2
+    return make_problem(
+        R, t, intr, X, obs_cam, obs_pt, uv,
+        camera_model="bal", robust=robust, robust_scale=robust_scale,
+        dtype=dtype, max_track=max_track,
+    )
+
+
+def save_bal(path: str, problem: BundleProblem) -> None:
+    """Write a :class:`BundleProblem` (camera_model="bal") as a BAL file."""
+    if problem.camera_model != "bal":
+        raise ValueError(
+            f"save_bal requires camera_model='bal', got {problem.camera_model!r}"
+        )
+    import jax.numpy as jnp
+
+    R = np.asarray(problem.R, dtype=np.float64)
+    w = np.asarray(so3.log(jnp.asarray(R)))
+    t = np.asarray(problem.t, dtype=np.float64)
+    intr = np.asarray(problem.intr, dtype=np.float64)
+    X = np.asarray(problem.X, dtype=np.float64)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_pt = np.asarray(problem.obs_pt)
+    uv = np.asarray(problem.obs_uv, dtype=np.float64)
+
+    buf = _io.StringIO()
+    buf.write(f"{R.shape[0]} {X.shape[0]} {obs_cam.shape[0]}\n")
+    for c, p, (u, v) in zip(obs_cam, obs_pt, uv):
+        buf.write(f"{c} {p} {u:.17g} {v:.17g}\n")
+    cams = np.concatenate([w, t, intr], axis=-1)          # [C, 9]
+    for row in cams.reshape(-1):
+        buf.write(f"{row:.17g}\n")
+    for row in X.reshape(-1):
+        buf.write(f"{row:.17g}\n")
+    data = buf.getvalue().encode()
+    with _open(path, "wb") as f:
+        f.write(data)
+
+
+def make_synthetic_bal(
+    n_cameras: int, n_points: int, **kw
+) -> Tuple[BundleProblem, BundleProblem]:
+    """(truth, perturbed) synthetic problem in BAL convention — the stand-in
+    for the BAL datasets in an offline container (no downloads)."""
+    from pysfm_tpu.pipeline import synthetic
+
+    sc = synthetic.make_scene(n_cameras, n_points, camera_model="bal", **kw)
+    return sc.truth, sc.problem
