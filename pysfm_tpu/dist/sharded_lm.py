@@ -130,9 +130,18 @@ def solve_sharded(
                 jnp.max(jnp.abs(g_c_glob)),
                 jax.lax.pmax(jnp.max(jnp.abs(eqs.g_p)), AXIS),
             )
-            dc, dp = schur.solve_step_dense(
-                eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS
-            )
+            if config.solver == "pcg":
+                from pysfm_tpu.solver import pcg
+
+                dc, dp = pcg.solve_step_pcg(
+                    eqs, lam, lp.obs_cam, lp.obs_pt,
+                    tol=config.cg_tol, max_iters=config.cg_iters,
+                    axis_name=AXIS,
+                )
+            else:
+                dc, dp = schur.solve_step_dense(
+                    eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS
+                )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand), AXIS)
             pred = schur.predicted_reduction(eqs, lam, dc, dp, axis_name=AXIS)

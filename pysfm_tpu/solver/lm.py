@@ -95,7 +95,15 @@ def solve(
             jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
         )
 
-        dc, dp = schur.solve_step_dense(eqs, s.lam, p.obs_cam, p.obs_pt)
+        if config.solver == "pcg":
+            from pysfm_tpu.solver import pcg
+
+            dc, dp = pcg.solve_step_pcg(
+                eqs, s.lam, p.obs_cam, p.obs_pt,
+                tol=config.cg_tol, max_iters=config.cg_iters,
+            )
+        else:
+            dc, dp = schur.solve_step_dense(eqs, s.lam, p.obs_cam, p.obs_pt)
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = problem_mod.cost(cand)
         pred = schur.predicted_reduction(eqs, s.lam, dc, dp)

@@ -28,3 +28,11 @@ class LMConfig:
     # Re-orthonormalize rotations every k accepted steps (0 = never);
     # fights f32 drift of the multiplicative updates on TPU.
     renormalize_every: int = 0
+    # Reduced-camera-system solver: "dense" materializes the [C*CP, C*CP]
+    # Schur complement via the dense-W operand (small/medium C), "pcg" runs
+    # matrix-free preconditioned CG with implicit S-matvecs (BAL scale —
+    # the dense-W operand is O(P * C * CP * 3) and simply does not exist at
+    # 1M points / 1.7k cameras).
+    solver: str = "dense"
+    cg_iters: int = 100
+    cg_tol: float = 1e-6

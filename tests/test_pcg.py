@@ -1,0 +1,114 @@
+"""Matrix-free PCG Schur solver tests (SURVEY §7 step 6, BASELINE config 4).
+
+Discipline: the dense Schur path is the oracle — the PCG step must
+reproduce it to CG tolerance on problems where both exist, and the full LM
+loop must reach the same cost either way.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysfm_tpu.pipeline import synthetic
+from pysfm_tpu.problem import problem as problem_mod
+from pysfm_tpu.solver import LMConfig, pcg, schur, solve
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(
+        20, 800, noise_px=0.5, visibility=0.4, seed=5
+    )
+
+
+def _normal_eqs(p):
+    r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
+    return schur.build_normal_equations(
+        r, J_cam, J_pt, w, p.obs_cam, p.obs_pt, p.n_cameras, p.n_points
+    )
+
+
+def test_pcg_matches_dense_step(scene):
+    p = scene.problem
+    eqs = _normal_eqs(p)
+    lam = jnp.asarray(1e-3, p.X.dtype)
+    dc_d, dp_d = schur.solve_step_dense(eqs, lam, p.obs_cam, p.obs_pt)
+    dc_p, dp_p = pcg.solve_step_pcg(
+        eqs, lam, p.obs_cam, p.obs_pt, tol=1e-12, max_iters=400
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc_p), np.asarray(dc_d), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp_p), np.asarray(dp_d), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_matvec_against_materialized_s(scene):
+    """S x via the implicit chain == S x via the materialized dense S."""
+    p = scene.problem
+    eqs = _normal_eqs(p)
+    lam = jnp.asarray(1e-2, p.X.dtype)
+    sys_d = schur.reduce_dense(eqs, lam, p.obs_cam, p.obs_pt)
+    sys_p = pcg.build_pcg_system(eqs, lam, p.obs_cam, p.obs_pt)
+    C, CP, _ = eqs.Hcc.shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(C, CP)))
+    y_dense = (sys_d.S @ x.reshape(-1)).reshape(C, CP)
+    y_imp = pcg.schur_matvec(sys_p, x)
+    np.testing.assert_allclose(
+        np.asarray(y_imp), np.asarray(y_dense), rtol=1e-9, atol=1e-9
+    )
+    # rhs agrees too (dense path keeps it flat).
+    np.testing.assert_allclose(
+        np.asarray(sys_p.rhs).reshape(-1), np.asarray(sys_d.rhs),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_lm_with_pcg_converges_like_dense(scene):
+    cfg_d = LMConfig(max_iters=15)
+    cfg_p = dataclasses.replace(cfg_d, solver="pcg", cg_tol=1e-10, cg_iters=300)
+    _, st_d = solve(scene.problem, cfg_d)
+    _, st_p = solve(scene.problem, cfg_p)
+    c_d = float(np.asarray(st_d.costs)[-1])
+    c_p = float(np.asarray(st_p.costs)[-1])
+    assert c_p < float(np.asarray(st_p.costs)[0]) * 1e-2
+    np.testing.assert_allclose(c_p, c_d, rtol=1e-5)
+
+
+def test_pcg_large_smoke():
+    """A shape the dense-W path could not hold at real scale (here scaled
+    down for CPU CI): 100 cams, 10k pts, robust kernel, f32."""
+    sc = synthetic.make_scene(
+        100, 10_000, noise_px=0.5, visibility=0.05, robust="huber",
+        robust_scale=2.0, seed=9, dtype=np.float32,
+    )
+    cfg = LMConfig(max_iters=8, solver="pcg", cg_tol=1e-6, cg_iters=80)
+    solved, st = solve(sc.problem, cfg)
+    costs = np.asarray(st.costs)
+    assert np.isfinite(costs[-1])
+    assert costs[-1] < costs[0] * 0.05
+
+
+def test_sharded_pcg_matches_single_device(scene):
+    import jax
+
+    from pysfm_tpu import dist
+
+    n_dev = min(8, len(jax.devices()))
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = dist.make_mesh(n_dev)
+    cfg = LMConfig(max_iters=6, solver="pcg", cg_tol=1e-10, cg_iters=300)
+    _, st_single = solve(scene.problem, cfg)
+    sp = dist.device_put_sharded(
+        dist.shard_problem(scene.problem, n_dev), mesh
+    )
+    _, st_shard = dist.solve_sharded(sp, mesh, cfg)
+    np.testing.assert_allclose(
+        np.asarray(st_shard.costs)[-1], np.asarray(st_single.costs)[-1],
+        rtol=1e-6,
+    )
