@@ -45,6 +45,8 @@ def _local_problem(sp: ShardedProblem) -> problem_mod.BundleProblem:
         obs_cam=sp.obs_cam, obs_pt=sp.obs_pt, obs_uv=sp.obs_uv, obs_w=sp.obs_w,
         pt_obs=jnp.zeros((pl, 1), jnp.int32),
         pt_obs_mask=jnp.zeros((pl, 1), bool),
+        cam_obs=jnp.zeros((sp.R.shape[0], 1), jnp.int32),
+        cam_obs_mask=jnp.zeros((sp.R.shape[0], 1), bool),
         cam_fixed=sp.cam_fixed, robust_scale=sp.robust_scale,
         camera_model=sp.camera_model, robust=sp.robust,
     )

@@ -48,6 +48,11 @@ class BundleProblem:
     # Per-point padded observation table for Schur elimination.
     pt_obs: jnp.ndarray       # [P, K] int32 indices into obs arrays
     pt_obs_mask: jnp.ndarray  # [P, K] bool
+    # Per-camera padded observation table: turns the camera-side
+    # normal-equation accumulation into gathers + MXU contractions
+    # (TPU scatter-adds serialize — measured 25 ms/iter at 164k obs).
+    cam_obs: jnp.ndarray       # [C, Kc] int32 indices into obs arrays
+    cam_obs_mask: jnp.ndarray  # [C, Kc] bool
     # Gauge fixing: cameras whose tangent update is frozen (SURVEY §7).
     cam_fixed: jnp.ndarray    # [C] bool
     # Robust cost (SURVEY §2 "Robust sensor models").
@@ -152,6 +157,7 @@ def make_problem(
         obs_w[order],
     )
     table, mask = build_point_obs_table(obs_pt, P, max_track)
+    cam_table, cam_mask = build_point_obs_table(obs_cam, C, None)
 
     return BundleProblem(
         R=jnp.asarray(R, dtype=dtype),
@@ -164,6 +170,8 @@ def make_problem(
         obs_w=jnp.asarray(obs_w, dtype=dtype),
         pt_obs=jnp.asarray(table),
         pt_obs_mask=jnp.asarray(mask),
+        cam_obs=jnp.asarray(cam_table),
+        cam_obs_mask=jnp.asarray(cam_mask),
         cam_fixed=jnp.asarray(cam_fixed),
         robust_scale=jnp.asarray(robust_scale, dtype=dtype),
         camera_model=camera_model,

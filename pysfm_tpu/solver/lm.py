@@ -89,7 +89,9 @@ def solve(
         p = s.prob
         r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
         eqs = schur.build_normal_equations(
-            r, J_cam, J_pt, w, p.obs_cam, p.obs_pt, p.n_cameras, p.n_points
+            r, J_cam, J_pt, w, p.obs_cam, p.obs_pt, p.n_cameras, p.n_points,
+            pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+            cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
         )
         grad_inf = jnp.maximum(
             jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
@@ -103,7 +105,10 @@ def solve(
                 tol=config.cg_tol, max_iters=config.cg_iters,
             )
         else:
-            dc, dp = schur.solve_step_dense(eqs, s.lam, p.obs_cam, p.obs_pt)
+            dc, dp = schur.solve_step_dense(
+                eqs, s.lam, p.obs_cam, p.obs_pt,
+                pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+            )
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = problem_mod.cost(cand)
         pred = schur.predicted_reduction(eqs, s.lam, dc, dp)
