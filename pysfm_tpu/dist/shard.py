@@ -45,6 +45,10 @@ class ShardedProblem:
     obs_pt: jnp.ndarray       # [n, Ml]
     obs_uv: jnp.ndarray       # [n, Ml, 2]
     obs_w: jnp.ndarray        # [n, Ml]
+    # Per-shard padded point-observation tables (local obs indices) — the
+    # scatter-free normal-equation/W path (see solver/schur.py).
+    pt_obs: jnp.ndarray       # [n, Pl, K]
+    pt_obs_mask: jnp.ndarray  # [n, Pl, K] bool
     robust_scale: jnp.ndarray
     camera_model: str = struct.field(pytree_node=False, default="pose")
     robust: str = struct.field(pytree_node=False, default="gaussian")
@@ -96,11 +100,29 @@ def shard_problem(p: BundleProblem, n_shards: int) -> ShardedProblem:
     obs_uv = pad_obs(np.asarray(p.obs_uv))
     obs_w = pad_obs(np.asarray(p.obs_w), fill=0.0)
 
+    # Local per-point observation tables (built on the real obs only, so
+    # padding observations are never referenced).
+    from pysfm_tpu.problem.problem import build_point_obs_table
+
+    tables, masks = [], []
+    for k in range(n_shards):
+        n_real = int(ends[k] - starts[k])
+        tab, msk = build_point_obs_table(obs_ptl[k, :n_real], pl)
+        tables.append(tab)
+        masks.append(msk)
+    K = max(t.shape[1] for t in tables)
+    pt_obs_t = np.zeros((n_shards, pl, K), np.int32)
+    pt_obs_m = np.zeros((n_shards, pl, K), bool)
+    for k in range(n_shards):
+        pt_obs_t[k, :, : tables[k].shape[1]] = tables[k]
+        pt_obs_m[k, :, : masks[k].shape[1]] = masks[k]
+
     return ShardedProblem(
         R=p.R, t=p.t, intr=p.intr, cam_fixed=p.cam_fixed,
         X=jnp.asarray(X), pt_mask=jnp.asarray(pt_mask),
         obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_ptl),
         obs_uv=jnp.asarray(obs_uv), obs_w=jnp.asarray(obs_w),
+        pt_obs=jnp.asarray(pt_obs_t), pt_obs_mask=jnp.asarray(pt_obs_m),
         robust_scale=p.robust_scale,
         camera_model=p.camera_model, robust=p.robust,
     )
@@ -121,6 +143,7 @@ def device_put_sharded(sp: ShardedProblem, mesh) -> ShardedProblem:
         X=put(sp.X, True), pt_mask=put(sp.pt_mask, True),
         obs_cam=put(sp.obs_cam, True), obs_pt=put(sp.obs_pt, True),
         obs_uv=put(sp.obs_uv, True), obs_w=put(sp.obs_w, True),
+        pt_obs=put(sp.pt_obs, True), pt_obs_mask=put(sp.pt_obs_mask, True),
         robust_scale=put(sp.robust_scale, False),
     )
 

@@ -43,8 +43,8 @@ def _local_problem(sp: ShardedProblem) -> problem_mod.BundleProblem:
     return problem_mod.BundleProblem(
         R=sp.R, t=sp.t, intr=sp.intr, X=sp.X,
         obs_cam=sp.obs_cam, obs_pt=sp.obs_pt, obs_uv=sp.obs_uv, obs_w=sp.obs_w,
-        pt_obs=jnp.zeros((pl, 1), jnp.int32),
-        pt_obs_mask=jnp.zeros((pl, 1), bool),
+        pt_obs=sp.pt_obs,
+        pt_obs_mask=sp.pt_obs_mask,
         cam_obs=jnp.zeros((sp.R.shape[0], 1), jnp.int32),
         cam_obs_mask=jnp.zeros((sp.R.shape[0], 1), bool),
         cam_fixed=sp.cam_fixed, robust_scale=sp.robust_scale,
@@ -71,6 +71,7 @@ def solve_sharded(
         R=P(), t=P(), intr=P(), cam_fixed=P(),
         X=P(AXIS), pt_mask=P(AXIS),
         obs_cam=P(AXIS), obs_pt=P(AXIS), obs_uv=P(AXIS), obs_w=P(AXIS),
+        pt_obs=P(AXIS), pt_obs_mask=P(AXIS),
         robust_scale=P(),
         camera_model=sp.camera_model, robust=sp.robust,
     )
@@ -92,6 +93,7 @@ def solve_sharded(
             X=sp_local.X[0], pt_mask=sp_local.pt_mask[0],
             obs_cam=sp_local.obs_cam[0], obs_pt=sp_local.obs_pt[0],
             obs_uv=sp_local.obs_uv[0], obs_w=sp_local.obs_w[0],
+            pt_obs=sp_local.pt_obs[0], pt_obs_mask=sp_local.pt_obs_mask[0],
         )
         dtype = sp_local.X.dtype
         n_it = config.max_iters
@@ -126,6 +128,7 @@ def solve_sharded(
             eqs = schur.build_normal_equations(
                 r, J_cam, J_pt, w, lp.obs_cam, lp.obs_pt,
                 lp.n_cameras, lp.n_points,
+                pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
             )
             g_c_glob = jax.lax.psum(eqs.g_c, AXIS)
             grad_inf = jnp.maximum(
@@ -142,7 +145,8 @@ def solve_sharded(
                 )
             else:
                 dc, dp = schur.solve_step_dense(
-                    eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS
+                    eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
+                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
                 )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand), AXIS)
@@ -199,6 +203,7 @@ def solve_sharded(
             X=spl.X[None], pt_mask=spl.pt_mask[None],
             obs_cam=spl.obs_cam[None], obs_pt=spl.obs_pt[None],
             obs_uv=spl.obs_uv[None], obs_w=spl.obs_w[None],
+            pt_obs=spl.pt_obs[None], pt_obs_mask=spl.pt_obs_mask[None],
         )
         return spl, st
 
