@@ -1,0 +1,92 @@
+"""Distributed Schur-BA scaling benchmark (BASELINE north-star: "BA
+iterations/s at 1 chip, 8 chips, 16 chips"; ">=70% scaling efficiency").
+
+Strong scaling: a fixed problem is point-sharded over 1/2/4/8 devices and
+the fully on-device LM loop (:func:`pysfm_tpu.dist.solve_sharded`) is timed.
+On this container only one real TPU chip is reachable, so by default this
+runs on an 8-way *virtual host-CPU mesh* — the identical shard_map/psum code
+path that rides ICI on a pod slice (SURVEY §4 "Test multi-chip without a
+pod").  The numbers then measure code-path scaling (collective counts,
+replication overheads), not ICI bandwidth; run on a real slice for the
+BASELINE figures.
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+          python bench/scaling.py [--cams 20] [--points 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from pysfm_tpu import dist
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import LMConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=20)
+    ap.add_argument("--points", type=int, default=20_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--solver", default="dense", choices=["dense", "pcg"])
+    args = ap.parse_args()
+
+    n_dev = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_dev]
+    sc = synthetic.make_scene(
+        args.cams, args.points, noise_px=0.5, visibility=0.3,
+        robust="huber", robust_scale=2.0, seed=0, dtype=np.float32,
+    )
+    cfg = LMConfig(
+        max_iters=args.iters, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver=args.solver,
+    )
+
+    results = []
+    t1 = None
+    for n in sizes:
+        mesh = dist.make_mesh(n)
+        sp = dist.device_put_sharded(dist.shard_problem(sc.problem, n), mesh)
+        solved, stats = dist.solve_sharded(sp, mesh, cfg)   # compile+run
+        jax.block_until_ready(solved)
+        t0 = time.perf_counter()
+        solved, stats = dist.solve_sharded(sp, mesh, cfg)
+        jax.block_until_ready(solved)
+        dt = time.perf_counter() - t0
+        ips = args.iters / dt
+        if t1 is None:
+            t1 = ips
+        eff = ips / (t1 * n)
+        results.append({
+            "devices": n, "iters_per_s": round(ips, 3),
+            "speedup": round(ips / t1, 3), "efficiency": round(eff, 3),
+            "final_cost": float(np.asarray(stats.costs)[-1]),
+        })
+        print(f"n={n:2d}  {ips:8.2f} iters/s  speedup {ips/t1:5.2f}x  "
+              f"efficiency {100*eff:5.1f}%")
+
+    print(json.dumps({
+        "scaling": results,
+        "platform": jax.default_backend(),
+        "note": "virtual CPU mesh unless run on a real slice",
+    }))
+
+
+if __name__ == "__main__":
+    main()

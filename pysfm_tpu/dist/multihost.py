@@ -1,0 +1,109 @@
+"""Multi-host runtime glue (SURVEY §2 "Keyframe/map partitioning across
+hosts", §5 "Distributed communication backend").
+
+The framework's cross-host story is deliberately thin: one process per
+host, ``jax.distributed.initialize`` to form the PJRT global runtime, and
+then the SAME 1-D point-shard mesh (:func:`pysfm_tpu.dist.make_mesh`)
+spanning every chip in the pod slice — XLA routes the per-iteration psum
+over ICI within a host's chips and DCN across hosts.  No transport code
+lives in this framework (BASELINE north-star: "Schur reduction over
+ICI/DCN" with jax collectives as the entire backend).
+
+Host-sharded data loading: each host materializes only its own point
+shards (``shard_problem`` is deterministic, so hosts agree on the global
+partition without communicating) and builds the global sharded arrays with
+``jax.make_array_from_single_device_arrays``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pysfm_tpu.dist.mesh import AXIS
+from pysfm_tpu.dist.shard import ShardedProblem, shard_problem
+from pysfm_tpu.problem import BundleProblem
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host runtime (idempotent).
+
+    With no arguments, defers to the environment (TPU pod metadata or
+    ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``),
+    which is how pod launchers invoke one process per host.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kw = {}
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+        kw["num_processes"] = num_processes or int(
+            os.environ["JAX_NUM_PROCESSES"]
+        )
+        kw["process_id"] = process_id or int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kw)
+    except (ValueError, RuntimeError):
+        # Single-process run (no coordinator discoverable) — stay local.
+        pass
+
+
+def global_mesh() -> Mesh:
+    """1-D mesh over every addressable chip in the pod slice (call after
+    :func:`initialize`)."""
+    return Mesh(np.asarray(jax.devices()), (AXIS,))
+
+
+def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
+    """Build the globally point-sharded problem across hosts.
+
+    Every host runs the same deterministic global partition
+    (:func:`shard_problem` over ``n_total_shards`` = global device count)
+    but only uploads the shards owned by its local devices; the global
+    jax.Arrays are assembled from single-device buffers so no host ever
+    materializes another host's points on device.
+    """
+    n = mesh.devices.size
+    sp = shard_problem(p, n)  # host-side global partition (NumPy)
+    shard_sharding = NamedSharding(mesh, P(AXIS))
+    repl_sharding = NamedSharding(mesh, P())
+
+    local = set(jax.local_devices())
+
+    def put_sharded(x):
+        x = np.asarray(x)
+        bufs = [
+            jax.device_put(x[i], d)
+            for i, d in enumerate(mesh.devices.ravel())
+            if d in local
+        ]
+        return jax.make_array_from_single_device_arrays(
+            x.shape, shard_sharding, bufs
+        )
+
+    def put_repl(x):
+        x = np.asarray(x)
+        bufs = [jax.device_put(x, d) for d in mesh.devices.ravel() if d in local]
+        return jax.make_array_from_single_device_arrays(
+            x.shape, repl_sharding, bufs
+        )
+
+    return sp.replace(
+        R=put_repl(sp.R), t=put_repl(sp.t), intr=put_repl(sp.intr),
+        cam_fixed=put_repl(sp.cam_fixed),
+        X=put_sharded(sp.X), pt_mask=put_sharded(sp.pt_mask),
+        obs_cam=put_sharded(sp.obs_cam), obs_pt=put_sharded(sp.obs_pt),
+        obs_uv=put_sharded(sp.obs_uv), obs_w=put_sharded(sp.obs_w),
+        pt_obs=put_sharded(sp.pt_obs), pt_obs_mask=put_sharded(sp.pt_obs_mask),
+        robust_scale=put_repl(sp.robust_scale),
+    )

@@ -19,6 +19,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 
 def solve_quartic(coeffs: jnp.ndarray) -> jnp.ndarray:
     """Closed-form (Ferrari) roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0.
@@ -165,12 +167,12 @@ def p3p(
         # Absolute orientation from 3 correspondences (Horn / Procrustes).
         mx = jnp.mean(X, axis=0)
         mq = jnp.mean(Q, axis=0)
-        H = (Q - mq).T @ (X - mx)
+        H = xp.matmul((Q - mq).T, (X - mx))
         U, _, Vt = jnp.linalg.svd(H)
-        dets = jnp.linalg.det(U @ Vt)
+        dets = jnp.linalg.det(xp.matmul(U, Vt))
         fix = jnp.ones(3, dtype).at[2].set(dets)
-        R = (U * fix[None, :]) @ Vt
-        t = mq - R @ mx
+        R = xp.matmul(U * fix[None, :], Vt)
+        t = mq - xp.matvec(R, mx)
         nan = jnp.asarray(jnp.nan, dtype)
         return (
             jnp.where(ok, R, nan),
@@ -211,7 +213,7 @@ def p3p_ransac(
         Rs, ts = p3p(X[idx], pn[idx])           # [4, 3, 3], [4, 3]
 
         def score(R, t):
-            p = jnp.einsum("ij,nj->ni", R, X) + t
+            p = jnp.einsum("ij,nj->ni", R, X, precision=xp.HIGHEST) + t
             pn_hat = p[:, :2] / p[:, 2:3]
             d = jnp.sum((pn_hat - pn) ** 2, axis=-1)
             d = jnp.where(p[:, 2] <= 0, jnp.asarray(1e10, d.dtype), d)
@@ -231,7 +233,7 @@ def p3p_ransac(
     w_in = inliers.astype(X.dtype) * data_weights
     R, t = refine_pose(R0, t0, X, pn, w_in, iters=refine_iters)
     # Re-evaluate inliers under the refined pose.
-    p = jnp.einsum("ij,nj->ni", R, X) + t
+    p = jnp.einsum("ij,nj->ni", R, X, precision=xp.HIGHEST) + t
     d = jnp.sum((p[:, :2] / p[:, 2:3] - pn) ** 2, axis=-1)
     d = jnp.where(p[:, 2] <= 0, jnp.asarray(1e10, d.dtype), d)
     inliers = jnp.logical_and(d < threshold, data_weights > 0)

@@ -16,6 +16,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 from pysfm_tpu.geometry import so3
 
 
@@ -45,7 +47,7 @@ def pnp_dlt(
     P = V[:, 0].reshape(3, 4)
     # Fix the sign BEFORE the SO(3) projection (-R is not a rotation):
     # projective depths w_i = P3 . Xh_i must be majority-positive.
-    wdepth = Xh @ P[2]
+    wdepth = xp.matvec(Xh, P[2])
     sgn = jnp.where(
         jnp.sum((wdepth > 0) * w) >= jnp.sum((wdepth < 0) * w), 1.0, -1.0
     )
@@ -54,9 +56,9 @@ def pnp_dlt(
     P = P / jnp.maximum(jnp.linalg.norm(P[2, :3]), 1e-12)
     # Procrustes: nearest proper rotation.
     U, _, Vt = jnp.linalg.svd(P[:, :3])
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(xp.matmul(U, Vt))
     fix = jnp.ones(3, P.dtype).at[2].set(det)
-    R = (U * fix[None, :]) @ Vt
+    R = xp.matmul(U * fix[None, :], Vt)
     return R, P[:, 3]
 
 
@@ -74,7 +76,7 @@ def refine_pose(
 
     def step(carry, _):
         R, t = carry
-        p = jnp.einsum("ij,nj->ni", R, X) + t
+        p = jnp.einsum("ij,nj->ni", R, X, precision=xp.HIGHEST) + t
         inv_z = 1.0 / p[:, 2]
         pn_hat = p[:, :2] * inv_z[:, None]
         r = pn_hat - pn                                     # [N, 2]
@@ -90,13 +92,13 @@ def refine_pose(
         J_w = duv_dp @ (-so3.hat(RX))                        # [N, 2, 3]
         J = jnp.concatenate([J_w, duv_dp], axis=-1)          # [N, 2, 6]
         Jw = J * w[:, None, None]
-        H = jnp.einsum("nic,nid->cd", Jw, J)
-        g = jnp.einsum("nic,ni->c", Jw, r)
+        H = jnp.einsum("nic,nid->cd", Jw, J, precision=xp.HIGHEST)
+        g = jnp.einsum("nic,ni->c", Jw, r, precision=xp.HIGHEST)
         H = H + damping * jnp.eye(6, dtype=R.dtype) * jnp.maximum(
             jnp.max(jnp.diagonal(H)), 1.0
         )
         d = -jnp.linalg.solve(H, g)
-        return (so3.exp(d[:3]) @ R, t + d[3:]), None
+        return (xp.matmul(so3.exp(d[:3]), R), t + d[3:]), None
 
     (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
     return R, t
@@ -132,7 +134,7 @@ def pnp_ransac(
     def score(model):
         R = model[:9].reshape(3, 3)
         t = model[9:]
-        p = jnp.einsum("ij,nj->ni", R, X) + t
+        p = jnp.einsum("ij,nj->ni", R, X, precision=xp.HIGHEST) + t
         pn_hat = p[:, :2] / p[:, 2:3]
         behind = p[:, 2] <= 0
         d = jnp.sum((pn_hat - pn) ** 2, axis=-1)

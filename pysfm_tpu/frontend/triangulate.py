@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 from pysfm_tpu.geometry import projection
 from pysfm_tpu.solver.schur import inv3x3
 
@@ -68,12 +70,12 @@ def triangulate_linear(
     A = jnp.concatenate([a1, a2], axis=0)             # [2V, 3]
     b = jnp.concatenate([b1, b2], axis=0)
     w = jnp.concatenate([mask, mask], axis=0).astype(A.dtype)
-    AtA = jnp.einsum("vi,vj->ij", A * w[:, None], A)
-    Atb = jnp.einsum("vi,v->i", A * w[:, None], b)
+    AtA = jnp.einsum("vi,vj->ij", A * w[:, None], A, precision=xp.HIGHEST)
+    Atb = jnp.einsum("vi,v->i", A * w[:, None], b, precision=xp.HIGHEST)
     # Identity fill keeps unobserved/degenerate systems finite.
     d = jnp.diagonal(AtA)
     AtA = AtA + jnp.diag(jnp.where(jnp.max(jnp.abs(d)) == 0, 1.0, 0.0) * jnp.ones_like(d))
-    return inv3x3(AtA) @ Atb
+    return xp.matvec(inv3x3(AtA), Atb)
 
 
 def triangulate_points(
@@ -115,13 +117,13 @@ def refine_points(
             model, R[None], t[None], intr[None], Xb
         )
         r = (uv_hat - uv) * mask[..., None]               # [P, V, 2]
-        H = jnp.einsum("pvis,pvit->pst", J_pt * mask[..., None, None], J_pt)
-        g = jnp.einsum("pvis,pvi->ps", J_pt * mask[..., None, None], r)
+        H = jnp.einsum("pvis,pvit->pst", J_pt * mask[..., None, None], J_pt, precision=xp.HIGHEST)
+        g = jnp.einsum("pvis,pvi->ps", J_pt * mask[..., None, None], r, precision=xp.HIGHEST)
         d = jnp.diagonal(H, axis1=-2, axis2=-1)
         H = H + 1e-8 * jnp.eye(3, dtype=X.dtype) + jnp.eye(3, dtype=X.dtype) * (
             jnp.max(jnp.abs(d), axis=-1, keepdims=True)[..., None] == 0
         )
-        dX = -jnp.einsum("pst,pt->ps", inv3x3(H), g)
+        dX = -jnp.einsum("pst,pt->ps", inv3x3(H), g, precision=xp.HIGHEST)
         return X + dX, None
 
     X, _ = jax.lax.scan(step, X0, None, length=iters)

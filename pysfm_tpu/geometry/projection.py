@@ -24,6 +24,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 CAMERA_MODELS = ("pose", "pose_k", "bal")
 
 # Number of intrinsic parameters *stored* per model.
@@ -43,7 +45,7 @@ def unpr(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cam_point(R, t, X):
-    return jnp.einsum("...ij,...j->...i", R, X) + t
+    return xp.matvec(R, X) + t
 
 
 def _check_model(model: str) -> None:
@@ -116,7 +118,7 @@ def project_with_jac(
             rho[..., None, None] * eye2
             + pn[..., :, None] * drho[..., None, :]
         )                                                          # [..., 2, 2]
-        duv_dp = duv_dpn @ dpn_dp                                  # [..., 2, 3]
+        duv_dp = xp.matmul(duv_dpn, dpn_dp)                        # [..., 2, 3]
 
         # Intrinsics block: d uv / d [f, k1, k2]
         duv_df = rho[..., None] * pn                               # [..., 2]
@@ -167,9 +169,9 @@ def project_with_jac(
         ],
         axis=-2,
     )
-    J_w = duv_dp @ neg_hat_RX                                      # [..., 2, 3]
+    J_w = xp.matmul(duv_dp, neg_hat_RX)                            # [..., 2, 3]
     J_t = duv_dp                                                   # dp/dt = I
-    J_pt = duv_dp @ R                                              # [..., 2, 3]
+    J_pt = xp.matmul(duv_dp, R)                                    # [..., 2, 3]
 
     if J_intr is None:
         J_cam = jnp.concatenate([J_w, J_t], axis=-1)

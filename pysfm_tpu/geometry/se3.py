@@ -12,32 +12,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pysfm_tpu.geometry import so3
+from pysfm_tpu.utils import precision as xp
 
 
 def transform(R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Apply world->camera transform: [..., 3, 3], [..., 3], [..., 3] -> [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", R, X) + t
+    return xp.matvec(R, X) + t
 
 
 def inverse(R: jnp.ndarray, t: jnp.ndarray):
     """Inverse transform: (R, t) -> (R^T, -R^T t)."""
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+    return Rt, -xp.matvec(Rt, t)
 
 
 def compose(Ra, ta, Rb, tb):
     """(Ra, ta) o (Rb, tb): first apply b, then a."""
-    return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    return xp.matmul(Ra, Rb), xp.matvec(Ra, tb) + ta
 
 
 def camera_center(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Camera center in world coordinates: C = -R^T t."""
-    return -jnp.einsum("...ji,...j->...i", R, t)
+    return -jnp.einsum("...ji,...j->...i", R, t, precision=xp.HIGHEST)
 
 
 def retract(R, t, dw, dt):
     """Left-perturbation 6-DoF update used by the LM solver."""
-    return so3.exp(dw) @ R, t + dt
+    return xp.matmul(so3.exp(dw), R), t + dt
 
 
 def exp(xi: jnp.ndarray):
@@ -60,6 +61,6 @@ def exp(xi: jnp.ndarray):
     V = (
         jnp.eye(3, dtype=xi.dtype)
         + b[..., None, None] * W
-        + c[..., None, None] * (W @ W)
+        + c[..., None, None] * xp.matmul(W, W)
     )
-    return R, jnp.einsum("...ij,...j->...i", V, v)
+    return R, xp.matvec(V, v)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 # Below this squared angle we switch to Taylor expansions of the Rodrigues
 # coefficients.  Generous threshold: the 4th-order Taylor terms are < 1e-12
 # relative error at theta^2 = 1e-6 in f64 and below f32 resolution anyway.
@@ -59,7 +61,7 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
     theta_sq = jnp.sum(w * w, axis=-1)
     a, b = _exp_coefs(theta_sq)
     W = hat(w)
-    WW = W @ W
+    WW = xp.matmul(W, W)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * W + b[..., None, None] * WW
 
@@ -140,9 +142,9 @@ def normalize(R: jnp.ndarray) -> jnp.ndarray:
     ``R <- exp(dw) @ R`` inside the LM loop.
     """
     u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(xp.matmul(u, vt))
     # Flip the last singular direction if the product would be a reflection.
     fix = jnp.concatenate(
         [jnp.ones_like(R[..., :2, 0]), det[..., None]], axis=-1
     )
-    return (u * fix[..., None, :]) @ vt
+    return xp.matmul(u * fix[..., None, :], vt)

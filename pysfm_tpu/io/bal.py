@@ -52,8 +52,10 @@ def load_bal(
     max_track: int | None = None,
 ) -> BundleProblem:
     """Load a BAL problem file into a :class:`BundleProblem`."""
+    from pysfm_tpu.io import native
+
     with _open(path, "rb") as f:
-        tokens = np.array(f.read().split(), dtype=np.float64)
+        tokens = native.parse_doubles(f.read())
     n_cam, n_pt, n_obs = int(tokens[0]), int(tokens[1]), int(tokens[2])
     k = 3
     obs = tokens[k : k + 4 * n_obs].reshape(n_obs, 4)

@@ -236,7 +236,9 @@ def apply_update(
 
     dw = d_cam[:, 0:3]
     dt = d_cam[:, 3:6]
-    new_R = so3.exp(dw) @ p.R
+    from pysfm_tpu.utils import precision as xp
+
+    new_R = xp.matmul(so3.exp(dw), p.R)
     new_t = p.t + dt
     if d_cam.shape[1] > 6:
         new_intr = p.intr + d_cam[:, 6:]

@@ -85,9 +85,20 @@ def solve(
     def cond(s: _State):
         return jnp.logical_and(s.it < n_it, jnp.logical_not(s.done))
 
+    use_pallas = config.jac_backend == "pallas" or (
+        config.jac_backend == "auto"
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+    )
+
     def body(s: _State) -> _State:
         p = s.prob
-        r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
+        if use_pallas:
+            from pysfm_tpu.solver.kernels import pallas_proj
+
+            r, J_cam, J_pt, w = pallas_proj.residuals_and_jacobians_pallas(p)
+        else:
+            r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
         eqs = schur.build_normal_equations(
             r, J_cam, J_pt, w, p.obs_cam, p.obs_pt, p.n_cameras, p.n_points,
             pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,

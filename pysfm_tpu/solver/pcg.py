@@ -33,6 +33,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from pysfm_tpu.utils import precision as xp
+
 from pysfm_tpu.solver import schur
 
 
@@ -68,16 +70,16 @@ def build_pcg_system(
     Hpp_inv = schur.inv3x3(Hpp_aug)
 
     # rhs = -g_c + Hcp Hpp_inv g_p   (camera-sized; psum partials).
-    u = jnp.einsum("pst,pt->ps", Hpp_inv, eqs.g_p)          # [P, 3]
-    z = jnp.einsum("mcs,ms->mc", eqs.B, u[obs_pt])          # [M, CP]
+    u = xp.einsum("pst,pt->ps", Hpp_inv, eqs.g_p)          # [P, 3]
+    z = xp.einsum("mcs,ms->mc", eqs.B, u[obs_pt])          # [M, CP]
     rhs_red = jax.ops.segment_sum(z, obs_cam, num_segments=C)
     if axis_name is not None:
         rhs_red = jax.lax.psum(rhs_red, axis_name)
     rhs = -g_c + rhs_red
 
     # Exact block-Jacobi: D_c = Hcc_aug[c] - sum_{m in c} B_m Hpp_inv B_m^T.
-    BtHinv = jnp.einsum("mcs,mst->mct", eqs.B, Hpp_inv[obs_pt])  # [M, CP, 3]
-    D_m = jnp.einsum("mct,mdt->mcd", BtHinv, eqs.B)              # [M, CP, CP]
+    BtHinv = xp.einsum("mcs,mst->mct", eqs.B, Hpp_inv[obs_pt])  # [M, CP, 3]
+    D_m = xp.einsum("mct,mdt->mcd", BtHinv, eqs.B)              # [M, CP, CP]
     D = jax.ops.segment_sum(D_m, obs_cam, num_segments=C)
     if axis_name is not None:
         D = jax.lax.psum(D, axis_name)
@@ -105,14 +107,14 @@ def schur_matvec(
     """y = S x with x, y [C, CP]; S never formed."""
     C = sys.Hcc_aug.shape[0]
     # u = Hcp^T x : per-obs B_m^T x[cam_m], summed per point.
-    u_m = jnp.einsum("mcs,mc->ms", sys.B, x[sys.obs_cam])    # [M, 3]
+    u_m = xp.einsum("mcs,mc->ms", sys.B, x[sys.obs_cam])    # [M, 3]
     u = jax.ops.segment_sum(u_m, sys.obs_pt, num_segments=sys.Hpp_inv.shape[0])
-    w = jnp.einsum("pst,pt->ps", sys.Hpp_inv, u)             # [P, 3]
-    z_m = jnp.einsum("mcs,ms->mc", sys.B, w[sys.obs_pt])     # [M, CP]
+    w = xp.einsum("pst,pt->ps", sys.Hpp_inv, u)             # [P, 3]
+    z_m = xp.einsum("mcs,ms->mc", sys.B, w[sys.obs_pt])     # [M, CP]
     z = jax.ops.segment_sum(z_m, sys.obs_cam, num_segments=C)
     if axis_name is not None:
         z = jax.lax.psum(z, axis_name)
-    y = jnp.einsum("cde,ce->cd", sys.Hcc_aug, x)
+    y = xp.einsum("cde,ce->cd", sys.Hcc_aug, x)
     return y - z
 
 
@@ -136,7 +138,7 @@ def pcg_solve(
     b = sys.rhs
     x0 = jnp.zeros_like(b)
     r0 = b                                    # x0 = 0 => r = b - S x0 = b
-    z0 = jnp.einsum("cde,ce->cd", sys.M_inv, r0)
+    z0 = xp.einsum("cde,ce->cd", sys.M_inv, r0)
     b_norm = jnp.sqrt(_dot(b, b))
     thresh = tol * jnp.maximum(b_norm, jnp.asarray(1e-30, b.dtype))
 
@@ -150,7 +152,7 @@ def pcg_solve(
         alpha = rz / jnp.maximum(_dot(p, Sp), jnp.finfo(b.dtype).tiny)
         x = x + alpha * p
         r = r - alpha * Sp
-        z = jnp.einsum("cde,ce->cd", sys.M_inv, r)
+        z = xp.einsum("cde,ce->cd", sys.M_inv, r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
         p = z + beta * p
@@ -164,11 +166,11 @@ def pcg_solve(
 def back_substitute(sys: PCGSystem, dc: jnp.ndarray) -> jnp.ndarray:
     """dp = -Hpp_inv (g_p + Hcp^T dc) — identical to the dense path but from
     per-observation blocks (local to the chip's point shard)."""
-    u_m = jnp.einsum("mcs,mc->ms", sys.B, dc[sys.obs_cam])
+    u_m = xp.einsum("mcs,mc->ms", sys.B, dc[sys.obs_cam])
     u = jax.ops.segment_sum(
         u_m, sys.obs_pt, num_segments=sys.Hpp_inv.shape[0]
     )
-    return -jnp.einsum("pst,pt->ps", sys.Hpp_inv, sys.g_p + u)
+    return -xp.einsum("pst,pt->ps", sys.Hpp_inv, sys.g_p + u)
 
 
 def solve_step_pcg(

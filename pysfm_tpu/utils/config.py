@@ -36,3 +36,7 @@ class LMConfig:
     solver: str = "dense"
     cg_iters: int = 100
     cg_tol: float = 1e-6
+    # Residual/Jacobian/robust-weight build backend: "jax" (XLA fusions),
+    # "pallas" (native-tier fused kernel, TPU f32 only — SURVEY §2 "Pallas
+    # kernels"), or "auto" (pallas iff running on TPU in f32).
+    jac_backend: str = "auto"

@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+
+from pysfm_tpu.utils import precision as xp
 import numpy as np
 
 
@@ -23,17 +25,17 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray, with_scale: bool = True):
     mu_d = jnp.mean(dst, axis=0)
     sc = src - mu_s
     dc = dst - mu_d
-    cov = dc.T @ sc / src.shape[0]
+    cov = xp.matmul(dc.T, sc) / src.shape[0]
     U, D, Vt = jnp.linalg.svd(cov)
-    sgn = jnp.sign(jnp.linalg.det(U @ Vt))
+    sgn = jnp.sign(jnp.linalg.det(xp.matmul(U, Vt)))
     S = jnp.ones(3, src.dtype).at[2].set(sgn)
-    R = (U * S[None, :]) @ Vt
+    R = xp.matmul(U * S[None, :], Vt)
     if with_scale:
         var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
         s = jnp.sum(D * S) / jnp.maximum(var_s, 1e-18)
     else:
         s = jnp.asarray(1.0, src.dtype)
-    t = mu_d - s * (R @ mu_s)
+    t = mu_d - s * xp.matvec(R, mu_s)
     return s, R, t
 
 
@@ -43,7 +45,7 @@ def ate_rmse(
     """Absolute trajectory error (RMSE of camera centers) after Sim(3)
     alignment of the estimate onto the ground truth."""
     s, R, t = umeyama(traj_est, traj_gt, with_scale)
-    aligned = s * (traj_est @ R.T) + t
+    aligned = s * xp.matmul(traj_est, R.T) + t
     return jnp.sqrt(jnp.mean(jnp.sum((aligned - traj_gt) ** 2, axis=-1)))
 
 

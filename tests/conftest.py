@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the container exports JAX_PLATFORMS=axon (the
+# tunneled TPU chip), and running the f64 test suite there is both slow
+# (every jit is a remote TPU compile) and unsupported (no f64 eigh/svd on
+# TPU).  Set PYSFM_TEST_PLATFORM to override deliberately.
+os.environ["JAX_PLATFORMS"] = os.environ.get("PYSFM_TEST_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 
