@@ -121,36 +121,74 @@ def solve_sharded(
         def cond(s):
             return jnp.logical_and(s[4] < n_it, jnp.logical_not(s[5]))
 
+        use_cm = config.solver == "dense" and config.layout in ("cm", "auto")
+        use_pallas = config.jac_backend == "pallas" or (
+            config.jac_backend == "auto"
+            and jax.default_backend() == "tpu"
+            and sp.X.dtype == jnp.float32
+        )
+
         def body(s):
+            from pysfm_tpu.solver import schur_cm
+            from pysfm_tpu.solver.kernels import pallas_proj
+
             spl, lam, nu, cost0, it, _, st = s
             lp = _local_problem(spl)
-            r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(lp)
-            eqs = schur.build_normal_equations(
-                r, J_cam, J_pt, w, lp.obs_cam, lp.obs_pt,
-                lp.n_cameras, lp.n_points,
-                pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
-            )
-            g_c_glob = jax.lax.psum(eqs.g_c, AXIS)
-            grad_inf = jnp.maximum(
-                jnp.max(jnp.abs(g_c_glob)),
-                jax.lax.pmax(jnp.max(jnp.abs(eqs.g_p)), AXIS),
-            )
-            if config.solver == "pcg":
-                from pysfm_tpu.solver import pcg
-
-                dc, dp = pcg.solve_step_pcg(
+            if use_cm:
+                if use_pallas:
+                    rt, Jct, Jpt, wt = (
+                        pallas_proj.residuals_and_jacobians_pallas_cm(lp)
+                    )
+                else:
+                    r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(lp)
+                    M = r.shape[0]
+                    rt, Jct, Jpt, wt = (
+                        r.T, J_cam.reshape(M, -1).T, J_pt.reshape(M, 6).T, w
+                    )
+                eqs = schur_cm.build_normal_equations_cm(
+                    rt, Jct, Jpt, wt, lp.obs_cam, lp.pt_obs, lp.pt_obs_mask,
+                    lp.n_cameras,
+                )
+                grad_inf = schur_cm.grad_inf_cm(eqs, axis_name=AXIS)
+                dc, dp = schur_cm.solve_step_cm(
                     eqs, lam, lp.obs_cam, lp.obs_pt,
-                    tol=config.cg_tol, max_iters=config.cg_iters,
-                    axis_name=AXIS,
+                    lp.pt_obs, lp.pt_obs_mask, axis_name=AXIS,
                 )
             else:
-                dc, dp = schur.solve_step_dense(
-                    eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
+                r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(lp)
+                eqs = schur.build_normal_equations(
+                    r, J_cam, J_pt, w, lp.obs_cam, lp.obs_pt,
+                    lp.n_cameras, lp.n_points,
                     pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
                 )
+                g_c_glob = jax.lax.psum(eqs.g_c, AXIS)
+                grad_inf = jnp.maximum(
+                    jnp.max(jnp.abs(g_c_glob)),
+                    jax.lax.pmax(jnp.max(jnp.abs(eqs.g_p)), AXIS),
+                )
+                if config.solver == "pcg":
+                    from pysfm_tpu.solver import pcg
+
+                    dc, dp = pcg.solve_step_pcg(
+                        eqs, lam, lp.obs_cam, lp.obs_pt,
+                        tol=config.cg_tol, max_iters=config.cg_iters,
+                        axis_name=AXIS,
+                    )
+                else:
+                    dc, dp = schur.solve_step_dense(
+                        eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
+                        pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                    )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand), AXIS)
-            pred = schur.predicted_reduction(eqs, lam, dc, dp, axis_name=AXIS)
+            if use_cm:
+                pred = schur_cm.predicted_reduction_cm(
+                    eqs, lam, dc, dp, axis_name=AXIS
+                )
+            else:
+                pred = schur.predicted_reduction(
+                    eqs, lam, dc, dp, axis_name=AXIS
+                )
             actual = cost0 - new_cost
             rho = actual / jnp.maximum(pred, jnp.finfo(dtype).tiny)
 

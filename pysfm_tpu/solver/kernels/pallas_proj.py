@@ -164,6 +164,76 @@ def _pad_cols(a: jnp.ndarray, m_pad: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("model", "robust", "interpret")
 )
+def residuals_jacobians_weights_cm(
+    model: str,
+    robust: str,
+    Rg: jnp.ndarray,
+    tg: jnp.ndarray,
+    ig: jnp.ndarray,
+    Xg: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    obs_w: jnp.ndarray,
+    free: jnp.ndarray,
+    robust_scale: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Component-major variant: returns ``(rt [2, M], Jct [2*CP, M],
+    Jpt [6, M], wt [M])`` — the kernel's native layout, with observations on
+    lanes.  This is the layout the component-major normal-equation /
+    Schur path (solver/schur_cm.py) consumes; skipping the [M, ...]
+    transposes keeps every downstream elementwise op on unpadded tiles
+    (a [M, 2, CP] array tiles its minor (2, CP) dims to (8, 128) on TPU —
+    ~85x memory amplification measured as the dominant LM iteration cost).
+    """
+    projection._check_model(model)
+    cp = projection.CAM_DOF[model]
+    intr_dim = projection.INTR_DIM[model]
+    M = Rg.shape[0]
+    m_pad = max(pl.cdiv(M, TILE_M), 1) * TILE_M
+    dtype = Rg.dtype
+
+    Rt = _pad_cols(Rg.reshape(M, 9).T, m_pad)
+    tt = _pad_cols(tg.T, m_pad)
+    it = _pad_cols(ig.T, m_pad)
+    Xt = _pad_cols(Xg.T, m_pad)
+    uvt = _pad_cols(obs_uv.T, m_pad)
+    wobs = _pad_cols(obs_w[None, :], m_pad)
+    if m_pad != M:
+        Xt = Xt.at[2, M:].set(1.0)
+    freet = _pad_cols(free[None, :].astype(dtype), m_pad)
+    scale = jnp.asarray(robust_scale, dtype).reshape(1, 1)
+
+    grid = (m_pad // TILE_M,)
+
+    def spec(d):
+        return pl.BlockSpec((d, TILE_M), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel, model, robust, cp)
+    rt, Jct, Jpt, wt = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            spec(9), spec(3), spec(intr_dim), spec(3), spec(2), spec(1),
+            spec(1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[spec(2), spec(2 * cp), spec(6), spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, m_pad), dtype),
+            jax.ShapeDtypeStruct((2 * cp, m_pad), dtype),
+            jax.ShapeDtypeStruct((6, m_pad), dtype),
+            jax.ShapeDtypeStruct((1, m_pad), dtype),
+        ],
+        interpret=interpret,
+    )(Rt, tt, it, Xt, uvt, wobs, freet, scale)
+    return rt[:, :M], Jct[:, :M], Jpt[:, :M], wt[0, :M]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "robust", "interpret")
+)
 def residuals_jacobians_weights(
     model: str,
     robust: str,
@@ -237,15 +307,30 @@ def residuals_jacobians_weights(
     return r, J_cam, J_pt, w
 
 
-def residuals_and_jacobians_pallas(p, *, interpret: bool = False):
-    """Pallas-backed drop-in for
-    :func:`pysfm_tpu.problem.problem.residuals_and_jacobians`."""
+def _gathered_operands(p):
     Rg = p.R[p.obs_cam]
     tg = p.t[p.obs_cam]
     ig = p.intr[p.obs_cam]
     Xg = p.X[p.obs_pt]
     free = jnp.logical_not(p.cam_fixed)[p.obs_cam].astype(p.X.dtype)
+    return Rg, tg, ig, Xg, free
+
+
+def residuals_and_jacobians_pallas(p, *, interpret: bool = False):
+    """Pallas-backed drop-in for
+    :func:`pysfm_tpu.problem.problem.residuals_and_jacobians`."""
+    Rg, tg, ig, Xg, free = _gathered_operands(p)
     return residuals_jacobians_weights(
+        p.camera_model, p.robust, Rg, tg, ig, Xg, p.obs_uv, p.obs_w, free,
+        p.robust_scale, interpret=interpret,
+    )
+
+
+def residuals_and_jacobians_pallas_cm(p, *, interpret: bool = False):
+    """Component-major build: ``(rt [2,M], Jct [2CP,M], Jpt [6,M], wt [M])``
+    for the schur_cm solver path."""
+    Rg, tg, ig, Xg, free = _gathered_operands(p)
+    return residuals_jacobians_weights_cm(
         p.camera_model, p.robust, Rg, tg, ig, Xg, p.obs_uv, p.obs_w, free,
         p.robust_scale, interpret=interpret,
     )

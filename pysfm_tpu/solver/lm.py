@@ -90,39 +90,70 @@ def solve(
         and jax.default_backend() == "tpu"
         and dtype == jnp.float32
     )
+    use_cm = config.solver == "dense" and (
+        config.layout == "cm" or config.layout == "auto"
+    )
 
     def body(s: _State) -> _State:
+        from pysfm_tpu.solver import schur_cm
+        from pysfm_tpu.solver.kernels import pallas_proj
+
         p = s.prob
-        if use_pallas:
-            from pysfm_tpu.solver.kernels import pallas_proj
-
-            r, J_cam, J_pt, w = pallas_proj.residuals_and_jacobians_pallas(p)
-        else:
-            r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
-        eqs = schur.build_normal_equations(
-            r, J_cam, J_pt, w, p.obs_cam, p.obs_pt, p.n_cameras, p.n_points,
-            pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
-            cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
-        )
-        grad_inf = jnp.maximum(
-            jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
-        )
-
-        if config.solver == "pcg":
-            from pysfm_tpu.solver import pcg
-
-            dc, dp = pcg.solve_step_pcg(
-                eqs, s.lam, p.obs_cam, p.obs_pt,
-                tol=config.cg_tol, max_iters=config.cg_iters,
+        if use_cm:
+            if use_pallas:
+                rt, Jct, Jpt, wt = (
+                    pallas_proj.residuals_and_jacobians_pallas_cm(p)
+                )
+            else:
+                r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
+                M = r.shape[0]
+                rt = r.T
+                Jct = J_cam.reshape(M, -1).T
+                Jpt = J_pt.reshape(M, 6).T
+                wt = w
+            eqs = schur_cm.build_normal_equations_cm(
+                rt, Jct, Jpt, wt, p.obs_cam, p.pt_obs, p.pt_obs_mask,
+                p.n_cameras,
+            )
+            grad_inf = schur_cm.grad_inf_cm(eqs)
+            dc, dp = schur_cm.solve_step_cm(
+                eqs, s.lam, p.obs_cam, p.obs_pt, p.pt_obs, p.pt_obs_mask,
             )
         else:
-            dc, dp = schur.solve_step_dense(
-                eqs, s.lam, p.obs_cam, p.obs_pt,
+            if use_pallas:
+                r, J_cam, J_pt, w = (
+                    pallas_proj.residuals_and_jacobians_pallas(p)
+                )
+            else:
+                r, J_cam, J_pt, w = problem_mod.residuals_and_jacobians(p)
+            eqs = schur.build_normal_equations(
+                r, J_cam, J_pt, w, p.obs_cam, p.obs_pt,
+                p.n_cameras, p.n_points,
                 pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+                cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
             )
+            grad_inf = jnp.maximum(
+                jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+            )
+
+            if config.solver == "pcg":
+                from pysfm_tpu.solver import pcg
+
+                dc, dp = pcg.solve_step_pcg(
+                    eqs, s.lam, p.obs_cam, p.obs_pt,
+                    tol=config.cg_tol, max_iters=config.cg_iters,
+                )
+            else:
+                dc, dp = schur.solve_step_dense(
+                    eqs, s.lam, p.obs_cam, p.obs_pt,
+                    pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+                )
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = problem_mod.cost(cand)
-        pred = schur.predicted_reduction(eqs, s.lam, dc, dp)
+        if use_cm:
+            pred = schur_cm.predicted_reduction_cm(eqs, s.lam, dc, dp)
+        else:
+            pred = schur.predicted_reduction(eqs, s.lam, dc, dp)
         actual = s.cost - new_cost
         rho = actual / jnp.maximum(pred, jnp.finfo(dtype).tiny)
 

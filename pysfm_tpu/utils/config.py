@@ -40,3 +40,7 @@ class LMConfig:
     # "pallas" (native-tier fused kernel, TPU f32 only — SURVEY §2 "Pallas
     # kernels"), or "auto" (pallas iff running on TPU in f32).
     jac_backend: str = "auto"
+    # Solver data layout: "std" ([M, 2, CP]-style block arrays), "cm"
+    # (component-major [D, M] rows — the TPU fast path, see
+    # solver/schur_cm.py), or "auto" (cm for the dense solver, std for pcg).
+    layout: str = "auto"
