@@ -199,18 +199,23 @@ def reduce_cm(
     def mrow(i):
         return m6[i][:, None, None]
 
-    Eg = [
-        B0 * mrow(0),
-        B0 * mrow(1) + B1 * mrow(2),
-        B0 * mrow(3) + B1 * mrow(4) + B2 * mrow(5),
-    ]                                                           # 3 x [P,K,CP]
-    maskf = pt_obs_mask.astype(m6.dtype)
+    Eg = jnp.concatenate(
+        [
+            B0 * mrow(0),
+            B0 * mrow(1) + B1 * mrow(2),
+            B0 * mrow(3) + B1 * mrow(4) + B2 * mrow(5),
+        ],
+        axis=-1,
+    )                                                           # [P, K, 3CP]
     camg = obs_cam[pt_obs]
+    # No mask on the one-hot: padded slots carry Eg == 0 (Bg was masked in
+    # the build), so whatever camera they one-hot into contributes zero.
     OH = (
         camg[..., None] == jnp.arange(C, dtype=camg.dtype)
-    ).astype(m6.dtype) * maskf[..., None]                       # [P, K, C]
-    Vs = [xp.einsum("pkd,pkc->pdc", Eg[s], OH) for s in range(3)]
-    Vr = jnp.stack(Vs, axis=1).reshape(3 * P, cp * C)           # [(p,s),(d,c)]
+    ).astype(m6.dtype)                                          # [P, K, C]
+    # One batched contraction over the track axis; the s-major e index
+    # makes [P, 3CP, C] -> [(p*3+s), (d*C+c)] a pure reshape (no transpose).
+    Vr = xp.einsum("pke,pkc->pec", Eg, OH).reshape(3 * P, cp * C)
 
     # Whitened point gradient u = M g_p.
     g0, g1, g2 = eqs.g_p[0], eqs.g_p[1], eqs.g_p[2]
