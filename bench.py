@@ -32,6 +32,8 @@ def main():
     from pysfm_tpu.pipeline import synthetic
     from pysfm_tpu.solver import LMConfig, solve
 
+    from pysfm_tpu.utils.timing import sync
+
     dev = jax.devices()[0]
 
     # --- main metric: 50 cams / 10k points robust BA, f32 ------------------
@@ -42,17 +44,17 @@ def main():
     )
     cfg = LMConfig(max_iters=ITERS, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0)
     # Warm-up / compile.
-    jax.block_until_ready(solve(sc.problem, cfg))
+    sync(solve(sc.problem, cfg))
     t0 = time.perf_counter()
-    jax.block_until_ready(solve(sc.problem, cfg))
+    sync(solve(sc.problem, cfg))
     dt = time.perf_counter() - t0
     iters_per_s = ITERS / dt
 
     # --- vs_baseline: two-view scene, jax vs NumPy oracle ------------------
     sc2 = synthetic.make_scene(2, 100, noise_px=0.5, seed=1, dtype=np.float32)
-    jax.block_until_ready(solve(sc2.problem, cfg))
+    sync(solve(sc2.problem, cfg))
     t0 = time.perf_counter()
-    jax.block_until_ready(solve(sc2.problem, cfg))
+    sync(solve(sc2.problem, cfg))
     jax_two_view = ITERS / (time.perf_counter() - t0)
 
     sys.path.insert(0, "tests")

@@ -42,14 +42,11 @@ def device_peaks(dev) -> tuple:
 
 
 def timeit(fn, *args, n=20, **kw):
-    import jax
+    # Device->host fence, not block_until_ready (unreliable through the
+    # tunneled axon TPU runtime — see pysfm_tpu/utils/timing.py).
+    from pysfm_tpu.utils.timing import timeit as _timeit
 
-    jax.block_until_ready(fn(*args, **kw))  # compile
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    return _timeit(fn, *args, n=n, **kw)
 
 
 def main():
@@ -133,8 +130,7 @@ def main():
     # M*C*(CP^2+CP) + point-side gathers P*K*(9*2*... ) ~ M*(CP^2*2 + 18).
     build = jax.jit(lambda r, Jc, Jp, w: schur.build_normal_equations(
         r, Jc, Jp, w, p.obs_cam, p.obs_pt, C, P,
-        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
-        cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask))
+        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask))
     flops_ne = M * C * (CP * CP + CP) * 2 + M * (2 * CP * CP + 2 * CP * 3 + 30)
     bytes_ne = (M * (2 * CP + 6 + 3 + CP * 3) + C * CP * CP + P * 9) * f4
     report("normal_eqs", timeit(build, r, J_cam, J_pt, w, n=args.reps),

@@ -37,6 +37,7 @@ def main():
     import numpy as np
 
     from pysfm_tpu import dist
+    from pysfm_tpu.utils.timing import sync
     from pysfm_tpu.pipeline import synthetic
     from pysfm_tpu.solver import LMConfig
 
@@ -64,10 +65,10 @@ def main():
         mesh = dist.make_mesh(n)
         sp = dist.device_put_sharded(dist.shard_problem(sc.problem, n), mesh)
         solved, stats = dist.solve_sharded(sp, mesh, cfg)   # compile+run
-        jax.block_until_ready(solved)
+        sync(solved)
         t0 = time.perf_counter()
         solved, stats = dist.solve_sharded(sp, mesh, cfg)
-        jax.block_until_ready(solved)
+        sync(solved)
         dt = time.perf_counter() - t0
         ips = args.iters / dt
         if t1 is None:

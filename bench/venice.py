@@ -1,0 +1,108 @@
+"""BAL/Venice-scale benchmark (BASELINE config 4: 1.7k cams, 1M points,
+~5M observations) — the flagship scale target.
+
+Builds a Venice-shaped synthetic problem (window visibility over a camera
+ring, Poisson track lengths), solves it with the matrix-free PCG Schur path
+(obs-chunked scatter-free build + gathered-domain CG, solver/scale.py +
+solver/pcg.py) on one chip, and reports iterations/s, the convergence
+curve, and device memory.
+
+Run:  python bench/venice.py [--cams 1712] [--points 1000000] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.utils.timing import sync
+    from pysfm_tpu.solver import LMConfig, solve
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=1712)
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--mean-track", type=float, default=5.0)
+    ap.add_argument("--max-track", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cg-iters", type=int, default=50)
+    ap.add_argument("--cg-tol", type=float, default=1e-4)
+    ap.add_argument("--obs-chunk", type=int, default=1 << 19)
+    ap.add_argument("--noise-px", type=float, default=0.5)
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    t0 = time.perf_counter()
+    sc = synthetic.make_bal_scene(
+        args.cams, args.points, mean_track=args.mean_track,
+        max_track=args.max_track, noise_px=args.noise_px,
+        robust="huber", robust_scale=2.0, seed=4, dtype=np.float32,
+    )
+    p = sc.problem
+    t_build = time.perf_counter() - t0
+    print(f"# scene: C={p.n_cameras} P={p.n_points} M={p.n_obs} "
+          f"K={p.pt_obs.shape[1]} Kc={p.cam_obs.shape[1]} "
+          f"built in {t_build:.1f}s", flush=True)
+
+    cfg = LMConfig(
+        max_iters=args.iters, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=args.cg_iters, cg_tol=args.cg_tol,
+        obs_chunk=args.obs_chunk,
+    )
+    t0 = time.perf_counter()
+    solved, stats = solve(p, cfg)
+    sync(stats.costs)
+    t_first = time.perf_counter() - t0
+    print(f"# compile+run: {t_first:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    solved, stats = solve(p, cfg)
+    sync(stats.costs)
+    dt = time.perf_counter() - t0
+    costs = np.asarray(stats.costs, dtype=np.float64)
+    accepted = int(np.asarray(stats.accepted).sum())
+
+    mem = {}
+    try:
+        ms = dev.memory_stats() or {}
+        mem = {
+            "peak_bytes_in_use": int(ms.get("peak_bytes_in_use", 0)),
+            "bytes_limit": int(ms.get("bytes_limit", 0)),
+        }
+    except Exception:
+        pass
+
+    out = {
+        "config": "bal_venice",
+        "device": str(dev),
+        "cams": p.n_cameras,
+        "points": p.n_points,
+        "observations": p.n_obs,
+        "iters": args.iters,
+        "iters_per_s": round(args.iters / dt, 3),
+        "ms_per_iter": round(1e3 * dt / args.iters, 2),
+        "accepted": accepted,
+        "cost_initial": float(costs[0]),
+        "cost_final": float(costs[-1]),
+        "cost_curve": [float(c) for c in costs[:: max(1, args.iters // 10)]],
+        "cg_iters": args.cg_iters,
+        "obs_chunk": args.obs_chunk,
+        "scene_build_s": round(t_build, 1),
+        "compile_s": round(t_first - dt, 1),
+        "memory": mem,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,22 +40,46 @@ def initialize(
     ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``),
     which is how pod launchers invoke one process per host.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    kw = {}
+    # NB: probing with jax.process_count() would itself initialize the XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
+    if jax.distributed.is_initialized():
+        return  # already joined
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator_address is not None:
-        kw["coordinator_address"] = coordinator_address
-        kw["num_processes"] = num_processes or int(
-            os.environ["JAX_NUM_PROCESSES"]
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env is not None else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env is not None else None
+
+    given = {
+        "coordinator_address": coordinator_address,
+        "num_processes": num_processes,
+        "process_id": process_id,
+    }
+    supplied = {k: v for k, v in given.items() if v is not None}
+    if not supplied:
+        # Nothing configured anywhere: explicit single-process run, or a
+        # TPU pod whose metadata jax discovers by itself.
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return  # no pod metadata — stay a local single process
+        return
+    if len(supplied) != len(given):
+        # A PARTIAL configuration is a misconfigured pod launch; silently
+        # degrading to a single-process run would corrupt the reduction
+        # (each host would solve its own shard as if it were the world) —
+        # fail loudly instead (SURVEY §5 "failure detection").
+        missing = sorted(set(given) - set(supplied))
+        raise RuntimeError(
+            "multihost.initialize: partial multi-host configuration — got "
+            f"{sorted(supplied)} but missing {missing} (set all of "
+            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID "
+            "or pass them explicitly)"
         )
-        kw["process_id"] = process_id or int(os.environ["JAX_PROCESS_ID"])
-    try:
-        jax.distributed.initialize(**kw)
-    except (ValueError, RuntimeError):
-        # Single-process run (no coordinator discoverable) — stay local.
-        pass
+    jax.distributed.initialize(**supplied)
 
 
 def global_mesh() -> Mesh:
@@ -83,7 +107,7 @@ def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
     def put_sharded(x):
         x = np.asarray(x)
         bufs = [
-            jax.device_put(x[i], d)
+            jax.device_put(x[i : i + 1], d)   # keep the sharded leading axis
             for i, d in enumerate(mesh.devices.ravel())
             if d in local
         ]
@@ -105,5 +129,7 @@ def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
         obs_cam=put_sharded(sp.obs_cam), obs_pt=put_sharded(sp.obs_pt),
         obs_uv=put_sharded(sp.obs_uv), obs_w=put_sharded(sp.obs_w),
         pt_obs=put_sharded(sp.pt_obs), pt_obs_mask=put_sharded(sp.pt_obs_mask),
+        cam_obs=put_sharded(sp.cam_obs),
+        cam_obs_mask=put_sharded(sp.cam_obs_mask),
         robust_scale=put_repl(sp.robust_scale),
     )

@@ -49,6 +49,12 @@ class ShardedProblem:
     # scatter-free normal-equation/W path (see solver/schur.py).
     pt_obs: jnp.ndarray       # [n, Pl, K]
     pt_obs_mask: jnp.ndarray  # [n, Pl, K] bool
+    # Per-shard padded camera-observation tables (local obs indices) — the
+    # scatter-free camera-side reduction for the PCG path (solver/pcg.py):
+    # each chip reduces its own observations per camera; partials psum over
+    # ICI.  Kc is the max per-(camera, shard) observation count.
+    cam_obs: jnp.ndarray       # [n, C, Kc]
+    cam_obs_mask: jnp.ndarray  # [n, C, Kc] bool
     robust_scale: jnp.ndarray
     camera_model: str = struct.field(pytree_node=False, default="pose")
     robust: str = struct.field(pytree_node=False, default="gaussian")
@@ -117,12 +123,29 @@ def shard_problem(p: BundleProblem, n_shards: int) -> ShardedProblem:
         pt_obs_t[k, :, : tables[k].shape[1]] = tables[k]
         pt_obs_m[k, :, : masks[k].shape[1]] = masks[k]
 
+    # Local per-camera observation tables (every shard sees all C cameras,
+    # but only its own observations of them).
+    C = p.n_cameras
+    ctables, cmasks = [], []
+    for k in range(n_shards):
+        n_real = int(ends[k] - starts[k])
+        tab, msk = build_point_obs_table(obs_cam[k, :n_real], C)
+        ctables.append(tab)
+        cmasks.append(msk)
+    Kc = max(t.shape[1] for t in ctables)
+    cam_obs_t = np.zeros((n_shards, C, Kc), np.int32)
+    cam_obs_m = np.zeros((n_shards, C, Kc), bool)
+    for k in range(n_shards):
+        cam_obs_t[k, :, : ctables[k].shape[1]] = ctables[k]
+        cam_obs_m[k, :, : cmasks[k].shape[1]] = cmasks[k]
+
     return ShardedProblem(
         R=p.R, t=p.t, intr=p.intr, cam_fixed=p.cam_fixed,
         X=jnp.asarray(X), pt_mask=jnp.asarray(pt_mask),
         obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_ptl),
         obs_uv=jnp.asarray(obs_uv), obs_w=jnp.asarray(obs_w),
         pt_obs=jnp.asarray(pt_obs_t), pt_obs_mask=jnp.asarray(pt_obs_m),
+        cam_obs=jnp.asarray(cam_obs_t), cam_obs_mask=jnp.asarray(cam_obs_m),
         robust_scale=p.robust_scale,
         camera_model=p.camera_model, robust=p.robust,
     )
@@ -144,6 +167,7 @@ def device_put_sharded(sp: ShardedProblem, mesh) -> ShardedProblem:
         obs_cam=put(sp.obs_cam, True), obs_pt=put(sp.obs_pt, True),
         obs_uv=put(sp.obs_uv, True), obs_w=put(sp.obs_w, True),
         pt_obs=put(sp.pt_obs, True), pt_obs_mask=put(sp.pt_obs_mask, True),
+        cam_obs=put(sp.cam_obs, True), cam_obs_mask=put(sp.cam_obs_mask, True),
         robust_scale=put(sp.robust_scale, False),
     )
 

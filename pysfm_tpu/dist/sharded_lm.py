@@ -45,8 +45,8 @@ def _local_problem(sp: ShardedProblem) -> problem_mod.BundleProblem:
         obs_cam=sp.obs_cam, obs_pt=sp.obs_pt, obs_uv=sp.obs_uv, obs_w=sp.obs_w,
         pt_obs=sp.pt_obs,
         pt_obs_mask=sp.pt_obs_mask,
-        cam_obs=jnp.zeros((sp.R.shape[0], 1), jnp.int32),
-        cam_obs_mask=jnp.zeros((sp.R.shape[0], 1), bool),
+        cam_obs=sp.cam_obs,
+        cam_obs_mask=sp.cam_obs_mask,
         cam_fixed=sp.cam_fixed, robust_scale=sp.robust_scale,
         camera_model=sp.camera_model, robust=sp.robust,
     )
@@ -72,6 +72,7 @@ def solve_sharded(
         X=P(AXIS), pt_mask=P(AXIS),
         obs_cam=P(AXIS), obs_pt=P(AXIS), obs_uv=P(AXIS), obs_w=P(AXIS),
         pt_obs=P(AXIS), pt_obs_mask=P(AXIS),
+        cam_obs=P(AXIS), cam_obs_mask=P(AXIS),
         robust_scale=P(),
         camera_model=sp.camera_model, robust=sp.robust,
     )
@@ -94,6 +95,8 @@ def solve_sharded(
             obs_cam=sp_local.obs_cam[0], obs_pt=sp_local.obs_pt[0],
             obs_uv=sp_local.obs_uv[0], obs_w=sp_local.obs_w[0],
             pt_obs=sp_local.pt_obs[0], pt_obs_mask=sp_local.pt_obs_mask[0],
+            cam_obs=sp_local.cam_obs[0],
+            cam_obs_mask=sp_local.cam_obs_mask[0],
         )
         dtype = sp_local.X.dtype
         n_it = config.max_iters
@@ -134,7 +137,23 @@ def solve_sharded(
 
             spl, lam, nu, cost0, it, _, st = s
             lp = _local_problem(spl)
-            if use_cm:
+            if config.solver == "pcg":
+                from pysfm_tpu.solver import pcg, scale
+
+                eqs = scale.build_normal_equations_scale(lp, config.obs_chunk)
+                g_c_glob = jax.lax.psum(eqs.g_c, AXIS)
+                grad_inf = jnp.maximum(
+                    jnp.max(jnp.abs(g_c_glob)),
+                    jax.lax.pmax(jnp.max(jnp.abs(eqs.g_p)), AXIS),
+                )
+                dc, dp = pcg.solve_step_pcg(
+                    eqs, lam, lp.obs_cam, lp.obs_pt,
+                    tol=config.cg_tol, max_iters=config.cg_iters,
+                    axis_name=AXIS,
+                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                    cam_obs=lp.cam_obs, cam_obs_mask=lp.cam_obs_mask,
+                )
+            elif use_cm:
                 if use_pallas:
                     rt, Jct, Jpt, wt = (
                         pallas_proj.residuals_and_jacobians_pallas_cm(lp)
@@ -166,19 +185,10 @@ def solve_sharded(
                     jnp.max(jnp.abs(g_c_glob)),
                     jax.lax.pmax(jnp.max(jnp.abs(eqs.g_p)), AXIS),
                 )
-                if config.solver == "pcg":
-                    from pysfm_tpu.solver import pcg
-
-                    dc, dp = pcg.solve_step_pcg(
-                        eqs, lam, lp.obs_cam, lp.obs_pt,
-                        tol=config.cg_tol, max_iters=config.cg_iters,
-                        axis_name=AXIS,
-                    )
-                else:
-                    dc, dp = schur.solve_step_dense(
-                        eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
-                        pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
-                    )
+                dc, dp = schur.solve_step_dense(
+                    eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
+                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand), AXIS)
             if use_cm:
@@ -242,6 +252,7 @@ def solve_sharded(
             obs_cam=spl.obs_cam[None], obs_pt=spl.obs_pt[None],
             obs_uv=spl.obs_uv[None], obs_w=spl.obs_w[None],
             pt_obs=spl.pt_obs[None], pt_obs_mask=spl.pt_obs_mask[None],
+            cam_obs=spl.cam_obs[None], cam_obs_mask=spl.cam_obs_mask[None],
         )
         return spl, st
 

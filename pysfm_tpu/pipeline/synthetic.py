@@ -48,6 +48,133 @@ class SyntheticScene:
     outlier_frac: float
 
 
+def make_bal_scene(
+    n_cameras: int = 1712,
+    n_points: int = 1_000_000,
+    *,
+    mean_track: float = 5.0,
+    max_track: int = 12,
+    camera_model: str = "pose",
+    robust: str = "gaussian",
+    robust_scale: float = 1.0,
+    noise_px: float = 0.0,
+    outlier_frac: float = 0.0,
+    outlier_px: float = 50.0,
+    perturb_rot: float = 0.01,
+    perturb_trans: float = 0.02,
+    perturb_point: float = 0.02,
+    radius: float = 10.0,
+    seed: int = 0,
+    dtype=np.float32,
+) -> SyntheticScene:
+    """BAL/Venice-scale scene (BASELINE config 4: 1.7k cams, 1M points).
+
+    Unlike :func:`make_scene` this never materializes the all-pairs
+    visibility grid (1.7k x 1M = 1.7e9 entries): each point draws a track
+    length in [2, max_track] (mean ``mean_track``) and observes a
+    *contiguous window* of cameras on the ring — the locality structure of
+    real sequential captures, which also bounds the per-camera observation
+    count so the padded ``cam_obs`` table stays tight.
+    """
+    rng = np.random.default_rng(seed)
+    flip_z = camera_model == "bal"
+
+    X = rng.uniform(-2.0, 2.0, size=(n_points, 3))
+    angles = 2.0 * np.pi * np.arange(n_cameras) / max(n_cameras, 3)
+    centers = np.stack(
+        [
+            radius * np.cos(angles),
+            0.5 * rng.normal(size=n_cameras),
+            radius * np.sin(angles),
+        ],
+        axis=-1,
+    )
+    R = np.stack(
+        [look_at_rotation(c, np.zeros(3), flip_z) for c in centers], axis=0
+    )
+    t = -np.einsum("cij,cj->ci", R, centers)
+    if camera_model == "bal":
+        intr = np.stack(
+            [
+                800.0 + 10.0 * rng.normal(size=n_cameras),
+                np.full(n_cameras, 1e-4),
+                np.full(n_cameras, 1e-7),
+            ],
+            axis=-1,
+        )
+    else:
+        intr = np.stack(
+            [
+                np.full(n_cameras, 800.0),
+                np.full(n_cameras, 800.0),
+                np.full(n_cameras, 320.0),
+                np.full(n_cameras, 240.0),
+            ],
+            axis=-1,
+        )
+
+    # Track lengths: 2 + Poisson(mean-2), clipped to max_track.
+    k = 2 + rng.poisson(max(mean_track - 2.0, 0.0), size=n_points)
+    k = np.minimum(k, max_track)
+    # Window start per point; slots index consecutive cameras (mod C).
+    start = rng.integers(0, n_cameras, size=n_points)
+    pt_idx = np.repeat(np.arange(n_points, dtype=np.int64), k)
+    # Vectorized per-track slot offsets without a Python loop over points.
+    offs = np.arange(max_track)
+    grid_mask = offs[None, :] < k[:, None]                  # [P, max_track]
+    cam_grid = (start[:, None] + offs[None, :]) % n_cameras
+    cam_idx = cam_grid[grid_mask].astype(np.int64)
+
+    import jax
+    import jax.numpy as jnp
+
+    # Project in chunks (device-friendly, bounds host<->device transfers).
+    M = cam_idx.shape[0]
+    uv = np.empty((M, 2), dtype=np.float64)
+    proj = jax.jit(
+        lambda Rg, tg, ig, Xg: projection.project(camera_model, Rg, tg, ig, Xg)
+    )
+    chunk = 1 << 20
+    for lo in range(0, M, chunk):
+        hi = min(lo + chunk, M)
+        ci, pi = cam_idx[lo:hi], pt_idx[lo:hi]
+        uv[lo:hi] = np.asarray(
+            proj(
+                jnp.asarray(R[ci]), jnp.asarray(t[ci]),
+                jnp.asarray(intr[ci]), jnp.asarray(X[pi]),
+            )
+        )
+    if noise_px > 0:
+        uv += rng.normal(scale=noise_px, size=uv.shape)
+    if outlier_frac > 0:
+        n_out = int(outlier_frac * M)
+        which = rng.choice(M, size=n_out, replace=False)
+        uv[which] += rng.uniform(-outlier_px, outlier_px, size=(n_out, 2))
+
+    common = dict(
+        camera_model=camera_model, robust=robust,
+        robust_scale=robust_scale, dtype=dtype,
+    )
+    truth = make_problem(R, t, intr, X, cam_idx, pt_idx, uv, **common)
+
+    from pysfm_tpu.geometry import so3
+
+    dw = rng.normal(scale=perturb_rot, size=(n_cameras, 3))
+    dw[0] = 0.0
+    dt = rng.normal(scale=perturb_trans, size=(n_cameras, 3))
+    dt[0] = 0.0
+    R_pert = np.asarray(so3.exp(jnp.asarray(dw))) @ R
+    t_pert = t + dt
+    X_pert = X + rng.normal(scale=perturb_point, size=X.shape)
+    problem = make_problem(
+        R_pert, t_pert, intr, X_pert, cam_idx, pt_idx, uv, **common
+    )
+    return SyntheticScene(
+        truth=truth, problem=problem,
+        noise_px=noise_px, outlier_frac=outlier_frac,
+    )
+
+
 def make_scene(
     n_cameras: int = 2,
     n_points: int = 100,

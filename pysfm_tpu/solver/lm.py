@@ -99,7 +99,22 @@ def solve(
         from pysfm_tpu.solver.kernels import pallas_proj
 
         p = s.prob
-        if use_cm:
+        if config.solver == "pcg":
+            # BAL-scale path: obs-chunked scatter-free build + matrix-free
+            # PCG in the gathered table domain (solver/scale.py, solver/pcg.py).
+            from pysfm_tpu.solver import pcg, scale
+
+            eqs = scale.build_normal_equations_scale(p, config.obs_chunk)
+            grad_inf = jnp.maximum(
+                jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+            )
+            dc, dp = pcg.solve_step_pcg(
+                eqs, s.lam, p.obs_cam, p.obs_pt,
+                tol=config.cg_tol, max_iters=config.cg_iters,
+                pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+                cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
+            )
+        elif use_cm:
             if use_pallas:
                 rt, Jct, Jpt, wt = (
                     pallas_proj.residuals_and_jacobians_pallas_cm(p)
@@ -130,24 +145,14 @@ def solve(
                 r, J_cam, J_pt, w, p.obs_cam, p.obs_pt,
                 p.n_cameras, p.n_points,
                 pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
-                cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
             )
             grad_inf = jnp.maximum(
                 jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
             )
-
-            if config.solver == "pcg":
-                from pysfm_tpu.solver import pcg
-
-                dc, dp = pcg.solve_step_pcg(
-                    eqs, s.lam, p.obs_cam, p.obs_pt,
-                    tol=config.cg_tol, max_iters=config.cg_iters,
-                )
-            else:
-                dc, dp = schur.solve_step_dense(
-                    eqs, s.lam, p.obs_cam, p.obs_pt,
-                    pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
-                )
+            dc, dp = schur.solve_step_dense(
+                eqs, s.lam, p.obs_cam, p.obs_pt,
+                pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+            )
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = problem_mod.cost(cand)
         if use_cm:

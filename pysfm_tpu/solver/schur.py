@@ -56,8 +56,6 @@ def build_normal_equations(
     n_points: int,
     pt_obs: jnp.ndarray | None = None,
     pt_obs_mask: jnp.ndarray | None = None,
-    cam_obs: jnp.ndarray | None = None,
-    cam_obs_mask: jnp.ndarray | None = None,
 ) -> NormalEqs:
     """Accumulate J^T W J and J^T W r blockwise (SURVEY §3.1 HOT loop 3).
 

@@ -36,6 +36,11 @@ class LMConfig:
     solver: str = "dense"
     cg_iters: int = 100
     cg_tol: float = 1e-6
+    # Observation-chunked Jacobian build for the pcg path (0 = unchunked):
+    # bounds the residual/Jacobian working set to `obs_chunk` observations
+    # via a sequential lax.map (SURVEY §5 "obs-chunked accumulation") so
+    # BAL/Venice-scale problems never materialize [M, ...] Jacobians.
+    obs_chunk: int = 0
     # Residual/Jacobian/robust-weight build backend: "jax" (XLA fusions),
     # "pallas" (native-tier fused kernel, TPU f32 only — SURVEY §2 "Pallas
     # kernels"), or "auto" (pallas iff running on TPU in f32).

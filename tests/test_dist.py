@@ -56,6 +56,32 @@ def test_sharded_robust_kernel(mesh8):
     )
 
 
+def test_sharded_pcg_matches_single_device(mesh8):
+    """The BAL-scale path under shard_map: chunked scatter-free build +
+    gathered-domain PCG with psum'd matvecs == single-device PCG solve."""
+    import dataclasses
+
+    sc = synthetic.make_scene(
+        10, 120, noise_px=0.4, visibility=0.7, robust="huber",
+        robust_scale=2.0, seed=35,
+    )
+    cfg = LMConfig(
+        max_iters=15, solver="pcg", cg_tol=1e-10, cg_iters=300,
+        obs_chunk=128,
+    )
+    sp = dist.device_put_sharded(dist.shard_problem(sc.problem, 8), mesh8)
+    _, stats_n = dist.solve_sharded(sp, mesh8, cfg)
+    _, stats_1 = solve(sc.problem, dataclasses.replace(cfg, obs_chunk=0))
+    np.testing.assert_allclose(
+        np.asarray(stats_n.costs), np.asarray(stats_1.costs), rtol=1e-7
+    )
+    _, stats_d = solve(sc.problem, LMConfig(max_iters=15))
+    np.testing.assert_allclose(
+        float(np.asarray(stats_n.costs)[-1]),
+        float(np.asarray(stats_d.costs)[-1]), rtol=1e-6,
+    )
+
+
 def test_uneven_point_count(mesh8):
     """101 points over 8 shards — padding points must not perturb the solve."""
     sc = synthetic.make_scene(4, 101, noise_px=0.2, seed=33)
