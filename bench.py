@@ -57,6 +57,29 @@ def main():
     sync(solve(sc2.problem, cfg))
     jax_two_view = ITERS / (time.perf_counter() - t0)
 
+    # --- frames/s: incremental pipeline, BASELINE config 2 -----------------
+    # (10 keyframes, 1k points, incremental pose init + windowed BA).  Host
+    # orchestrates, device computes (SURVEY §3.3); wall time includes both.
+    from pysfm_tpu.pipeline import IncrementalConfig, run_incremental
+
+    sc3 = synthetic.make_scene(
+        10, 1_000, noise_px=0.5, visibility=0.85, seed=13, radius=10.0,
+        dtype=np.float32,
+    )
+    F, T = sc3.truth.n_cameras, sc3.truth.n_points
+    uv_tab = np.zeros((F, T, 2), np.float32)
+    vis_tab = np.zeros((F, T), bool)
+    oc = np.asarray(sc3.truth.obs_cam)
+    op = np.asarray(sc3.truth.obs_pt)
+    uv_tab[oc, op] = np.asarray(sc3.truth.obs_uv)
+    vis_tab[oc, op] = True
+    intr_tab = np.asarray(sc3.truth.intr)
+    inc_cfg = IncrementalConfig(seed=2)
+    run_incremental(uv_tab, vis_tab, intr_tab, "pose", inc_cfg)  # compile
+    t0 = time.perf_counter()
+    run_incremental(uv_tab, vis_tab, intr_tab, "pose", inc_cfg)
+    frames_per_s = F / (time.perf_counter() - t0)
+
     sys.path.insert(0, "tests")
     from oracle_numpy import Oracle
 
@@ -81,6 +104,7 @@ def main():
         "device": str(dev),
         "two_view_iters_per_s": round(jax_two_view, 3),
         "oracle_two_view_iters_per_s": round(oracle_two_view, 3),
+        "frames_per_s_10kf_1kpt": round(frames_per_s, 3),
     }))
 
 

@@ -154,8 +154,10 @@ def main():
 
     # --- Stage 4: PCG matvec ------------------------------------------------
     sysm = jax.jit(lambda eqs, lam: pcg.build_pcg_system(
-        eqs, lam, p.obs_cam, p.obs_pt))(eqs, lam)
-    x = jnp.ones((C, CP), jnp.float32)
+        eqs, lam, p.obs_cam, p.obs_pt,
+        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask))(eqs, lam)
+    x = jnp.ones((CP, C), jnp.float32)
     mv = jax.jit(lambda s, x: pcg.schur_matvec(s, x))
     flops_mv = M * (CP * 3 * 2 * 2) + P * 9 * 2 + C * CP * CP * 2
     bytes_mv = (2 * M * CP * 3 + P * 9 + M * (3 + CP)) * f4

@@ -47,6 +47,7 @@ def main():
         args.cams, args.points, mean_track=args.mean_track,
         max_track=args.max_track, noise_px=args.noise_px,
         robust="huber", robust_scale=2.0, seed=4, dtype=np.float32,
+        with_truth=False,
     )
     p = sc.problem
     t_build = time.perf_counter() - t0

@@ -191,7 +191,13 @@ def solve_sharded(
                 )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand), AXIS)
-            if use_cm:
+            if config.solver == "pcg":
+                from pysfm_tpu.solver import scale
+
+                pred = scale.predicted_reduction_scale(
+                    eqs, lam, dc, dp, axis_name=AXIS
+                )
+            elif use_cm:
                 pred = schur_cm.predicted_reduction_cm(
                     eqs, lam, dc, dp, axis_name=AXIS
                 )

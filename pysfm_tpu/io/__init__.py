@@ -12,11 +12,14 @@ from pysfm_tpu.io.checkpoint import (
     SolverCheckpoint,
     latest_checkpoint,
     load_checkpoint,
+    load_checkpoint_sharded,
     save_checkpoint,
+    save_checkpoint_sharded,
 )
 
 __all__ = [
     "load_bal", "save_bal", "load_bundler", "save_bundler",
     "SolverCheckpoint", "save_checkpoint", "load_checkpoint",
+    "save_checkpoint_sharded", "load_checkpoint_sharded",
     "latest_checkpoint",
 ]

@@ -91,6 +91,132 @@ def load_checkpoint(path: str, dtype=None) -> SolverCheckpoint:
     )
 
 
+# --------------------------------------------------------------------------
+# Sharded (multi-chip / multi-host) checkpointing.
+# --------------------------------------------------------------------------
+
+_SHARDED_FIELDS = (
+    "X", "pt_mask", "obs_cam", "obs_pt", "obs_uv", "obs_w",
+    "pt_obs", "pt_obs_mask", "cam_obs", "cam_obs_mask",
+)
+_REPL_FIELDS = ("R", "t", "intr", "cam_fixed", "robust_scale")
+
+
+def save_checkpoint_sharded(
+    path: str,
+    sp,
+    *,
+    lam: float = 1e-3,
+    nu: float = 2.0,
+    iteration: int = 0,
+) -> str:
+    """Save a :class:`~pysfm_tpu.dist.shard.ShardedProblem` mid-solve.
+
+    Each process writes ONE part file ``<path>.p<proc>`` holding only its
+    addressable shards (leading shard axis) plus the replicated camera
+    state — no cross-host gather, no unsharding to a single host (SURVEY
+    §5 "Checkpoint / resume" for the distributed solver).  Atomic via
+    tmp+rename, same torn-write discipline as :func:`save_checkpoint`.
+
+    Returns the part path written by this process.
+    """
+    import jax
+
+    proc = jax.process_index()
+    arrays = dict(
+        lam=np.asarray(lam), nu=np.asarray(nu), iteration=np.asarray(iteration)
+    )
+    for name in _REPL_FIELDS:
+        arrays[name] = np.asarray(getattr(sp, name))
+    starts = None
+    for name in _SHARDED_FIELDS:
+        x = getattr(sp, name)
+        if hasattr(x, "addressable_shards") and x.addressable_shards:
+            ids, blocks = [], []
+            for s in x.addressable_shards:
+                sl = s.index[0] if s.index else slice(0, x.shape[0])
+                ids.append(0 if sl.start is None else int(sl.start))
+                blocks.append(np.asarray(s.data))
+            order = np.argsort(ids)
+            arrays[name] = np.concatenate([blocks[i] for i in order], axis=0)
+            f_starts = np.asarray(sorted(ids))
+            f_sizes = np.asarray(
+                [blocks[i].shape[0] for i in order]
+            )
+        else:  # host array (tests / single device): whole thing is local
+            arrays[name] = np.asarray(x)
+            f_starts = np.zeros(1, np.int64)
+            f_sizes = np.asarray([arrays[name].shape[0]])
+        if starts is None:
+            starts, sizes = f_starts, f_sizes
+            arrays["shard_starts"] = starts
+            arrays["shard_sizes"] = sizes
+        global_dim = getattr(sp, name).shape[0]
+    meta = {
+        "camera_model": sp.camera_model,
+        "robust": sp.robust,
+        "n_shards": int(global_dim),
+        "version": 1,
+        "sharded": True,
+    }
+    part = f"{path}.p{proc}"
+    tmp = part + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    with open(part + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(part + ".json.tmp", part + ".json")
+    os.replace(tmp, part)
+    return part
+
+
+def load_checkpoint_sharded(path: str):
+    """Reassemble a sharded checkpoint from all part files visible at
+    ``path.p*`` (single host, or a shared filesystem across hosts).
+
+    Returns ``(sharded_problem, lam, nu, iteration)`` with host-resident
+    arrays; re-place with :func:`pysfm_tpu.dist.shard.device_put_sharded`
+    (single host) or per-process shard selection (multi-host resume: each
+    process may also load only its own part — the part files are
+    self-contained for their shard ranges).
+    """
+    import glob as _glob
+
+    from pysfm_tpu.dist.shard import ShardedProblem
+
+    parts = sorted(_glob.glob(path + ".p*"))
+    parts = [q for q in parts if not q.endswith((".json", ".tmp"))]
+    if not parts:
+        raise FileNotFoundError(f"no checkpoint parts at {path}.p*")
+    with open(parts[0] + ".json") as f:
+        meta = json.load(f)
+    loaded = [np.load(q) for q in parts]
+    n = meta["n_shards"]
+    fields = {}
+    for name in _REPL_FIELDS:
+        fields[name] = loaded[0][name]
+    for name in _SHARDED_FIELDS:
+        # Each part stores its shards concatenated in start order; split
+        # back out by the recorded sizes.
+        out = None
+        for z in loaded:
+            starts = z["shard_starts"]
+            sizes = z["shard_sizes"]
+            arr = z[name]
+            if out is None:
+                out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+            off = 0
+            for s, sz in zip(starts, sizes):
+                out[int(s) : int(s) + int(sz)] = arr[off : off + int(sz)]
+                off += int(sz)
+        fields[name] = out
+    sp = ShardedProblem(
+        camera_model=meta["camera_model"], robust=meta["robust"], **fields
+    )
+    z0 = loaded[0]
+    return sp, float(z0["lam"]), float(z0["nu"]), int(z0["iteration"])
+
+
 def latest_checkpoint(directory: str, prefix: str = "ckpt") -> Optional[str]:
     """Newest complete checkpoint in ``directory`` (by iteration suffix
     ``<prefix>_<iteration>.npz``), or None."""

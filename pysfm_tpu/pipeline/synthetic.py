@@ -66,8 +66,13 @@ def make_bal_scene(
     radius: float = 10.0,
     seed: int = 0,
     dtype=np.float32,
+    with_truth: bool = True,
 ) -> SyntheticScene:
     """BAL/Venice-scale scene (BASELINE config 4: 1.7k cams, 1M points).
+
+    ``with_truth=False`` skips building the ground-truth problem (its
+    device tables cost a second multi-hundred-MB host->device transfer at
+    Venice scale; benchmarks only need the perturbed problem).
 
     Unlike :func:`make_scene` this never materializes the all-pairs
     visibility grid (1.7k x 1M = 1.7e9 entries): each point draws a track
@@ -155,7 +160,11 @@ def make_bal_scene(
         camera_model=camera_model, robust=robust,
         robust_scale=robust_scale, dtype=dtype,
     )
-    truth = make_problem(R, t, intr, X, cam_idx, pt_idx, uv, **common)
+    truth = (
+        make_problem(R, t, intr, X, cam_idx, pt_idx, uv, **common)
+        if with_truth
+        else None
+    )
 
     from pysfm_tpu.geometry import so3
 

@@ -78,26 +78,38 @@ class BundleProblem:
 
 
 def build_point_obs_table(
-    obs_pt: np.ndarray, n_points: int, max_track: Optional[int] = None
+    obs_pt: np.ndarray,
+    n_points: int,
+    max_track: Optional[int] = None,
+    select: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: padded [P, K] table of observation indices per point.
 
     K defaults to the longest track.  Padding entries index 0 and are
     masked out; every consumer multiplies gathered values by the mask.
+    ``select`` (bool [M]) restricts the table to a subset of observations
+    (table entries still index the FULL obs arrays) — used to keep
+    zero-weight padding rows from inflating K.
     """
     obs_pt = np.asarray(obs_pt)
-    counts = np.bincount(obs_pt, minlength=n_points)
+    ids = (
+        np.arange(obs_pt.shape[0])
+        if select is None
+        else np.flatnonzero(select)
+    )
+    sub = obs_pt[ids]
+    counts = np.bincount(sub, minlength=n_points)
     k = int(counts.max(initial=1)) if max_track is None else int(max_track)
-    order = np.argsort(obs_pt, kind="stable")
-    sorted_pt = obs_pt[order]
+    order = np.argsort(sub, kind="stable")
+    sorted_pt = sub[order]
     # Rank of each observation within its point group (vectorized).
     group_start = np.zeros(n_points + 1, dtype=np.int64)
     np.cumsum(counts, out=group_start[1:])
-    pos = np.arange(obs_pt.shape[0]) - group_start[sorted_pt]
+    pos = np.arange(sub.shape[0]) - group_start[sorted_pt]
     valid = pos < k
     table = np.zeros((n_points, k), dtype=np.int32)
     mask = np.zeros((n_points, k), dtype=bool)
-    table[sorted_pt[valid], pos[valid]] = order[valid]
+    table[sorted_pt[valid], pos[valid]] = ids[order[valid]]
     mask[sorted_pt[valid], pos[valid]] = True
     return table, mask
 
@@ -117,6 +129,7 @@ def make_problem(
     obs_w=None,
     cam_fixed=None,
     max_track: Optional[int] = None,
+    max_cam_obs: Optional[int] = None,
     dtype=None,
 ) -> BundleProblem:
     """Host-side builder: sorts observations by point, builds the padded
@@ -156,8 +169,28 @@ def make_problem(
         obs_uv[order],
         obs_w[order],
     )
-    table, mask = build_point_obs_table(obs_pt, P, max_track)
-    cam_table, cam_mask = build_point_obs_table(obs_cam, C, None)
+    # Zero-weight observations (padding / deactivated) contribute zero to
+    # every w-scaled payload, so they are excluded from the gather tables —
+    # otherwise bucketed padding rows (all indexing obs 0) inflate K.
+    live = obs_w > 0
+    # max_track / max_cam_obs only bucket the table shapes upward (static
+    # -shape reuse across incremental-BA calls); a value below the actual
+    # maximum would silently drop observations from the Schur gather.
+    if max_track is not None and obs_pt.size:
+        actual = int(np.bincount(obs_pt[live], minlength=P).max(initial=0))
+        if max_track < actual:
+            raise ValueError(
+                f"max_track={max_track} < longest track {actual}"
+            )
+    if max_cam_obs is not None and obs_cam.size:
+        actual = int(np.bincount(obs_cam[live], minlength=C).max(initial=0))
+        if max_cam_obs < actual:
+            raise ValueError(
+                f"max_cam_obs={max_cam_obs} < busiest camera {actual}"
+            )
+    table, mask = build_point_obs_table(obs_pt, P, max_track, select=live)
+    cam_table, cam_mask = build_point_obs_table(obs_cam, C, max_cam_obs,
+                                                select=live)
 
     return BundleProblem(
         R=jnp.asarray(R, dtype=dtype),

@@ -155,7 +155,11 @@ def solve(
             )
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = problem_mod.cost(cand)
-        if use_cm:
+        if config.solver == "pcg":
+            from pysfm_tpu.solver import scale
+
+            pred = scale.predicted_reduction_scale(eqs, s.lam, dc, dp)
+        elif use_cm:
             pred = schur_cm.predicted_reduction_cm(eqs, s.lam, dc, dp)
         else:
             pred = schur.predicted_reduction(eqs, s.lam, dc, dp)

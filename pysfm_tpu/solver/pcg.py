@@ -9,36 +9,46 @@ be tens of TB, so S can never be formed.  This module solves
 
     S x = Hcc_aug x - Hcp (Hpp_aug^-1 (Hcp^T x))
 
-TPU layout — the **gathered (table) domain**.  TPU scatter-adds serialize
-(``segment_sum`` over 5M observations measured ~0.7 s/call on v5e), and a
-one-hot [M, C] reduction matmul costs M*C*D*2 MXU flops (~30 ms/matvec at
-Venice scale).  Instead, the per-observation coupling blocks ``B
-[M, CP, 3]`` are gathered ONCE per LM iteration into both padded
-visibility tables:
+TPU layout — **component-major gathered tables**.  Three facts shape the
+design (all measured on v5e):
 
-- ``Bp [P, K, CP, 3]``  — point-major (rows of Hcp^T), via ``pt_obs``;
-- ``Bg [C, Kc, CP, 3]`` — camera-major (rows of Hcp), via ``cam_obs``;
+- ``segment_sum`` over 5M observations serializes (~0.7 s/call);
+- a one-hot ``[M, C]`` reduction matmul costs M*C*D*2 MXU flops
+  (~30 ms/matvec at Venice scale);
+- ANY array with small minor dims tiles to the (8, 128) vreg — a gathered
+  ``Bp [P, K, CP, 3]`` table is a **49 GB** allocation at Venice scale
+  (21x padding); the same payload as ``[3*CP, K, P]`` rows is 1.1 GB.
+
+So the per-observation coupling rows ``B_cm [3*CP, M]`` are gathered ONCE
+per LM iteration into both padded visibility tables, keeping the big axis
+minor:
+
+- ``Bp [3*CP, K, P]``  — point-major (rows of Hcp^T), via ``pt_obs.T``;
+- ``Bg [3*CP, C, Kc]`` — camera-major (rows of Hcp), via ``cam_obs``;
 
 after which every reduction in the CG loop is a small gather of a
-camera/point *vector* plus one batched masked contraction — pure
-memory-bound VPU/MXU work with static shapes, no scatters anywhere.
-Padding slots hold zero blocks, so gathered garbage never contributes.
+camera/point *vector* plus masked multiply-reduce contractions over the
+leading (component/track) axes — pure memory-bound VPU work with static
+shapes, no scatters, no layout padding.  Point blocks live in 6-component
+lower-tri form ``[6, P]`` (a ``[P, 3, 3]`` array would tile 10x).
+Padding slots hold zero rows, so gathered garbage never contributes.
 
 Preconditioner: **exact** block-Jacobi of S.  In BA each (camera, point)
 pair has (at most) one observation, so the diagonal block of the outer
-product term is ``sum_k Bg[c,k] Hpp_inv[pt] Bg[c,k]^T`` — one more
-masked contraction.  Block inverses are batched Cholesky solves of
+product term is ``sum_k Bg[:,c,k] Hpp_inv[ptg[c,k]] Bg[:,c,k]^T`` — one
+more masked contraction.  Block inverses are batched Cholesky solves of
 [CP, CP] tiles.
 
 Distributed (SURVEY §2 "Point-sharded Schur elimination"): with
 ``axis_name`` set, points/observations (and both tables, built per shard)
-are chip-local; every S-matvec psums the camera-sized [C, CP] vector over
+are chip-local; every S-matvec psums the camera-sized [CP, C] vector over
 ICI (one small collective per CG iteration), the preconditioner is psum'd
 once per LM iteration, and the CG scalars (alpha/beta) are computed from
 replicated quantities so all chips stay in lockstep.
 
-A ``segment_sum`` fallback remains for callers without tables (used by the
-equality tests as an independent formulation of the same operator).
+A ``segment_sum`` fallback over :class:`schur.NormalEqs` remains for
+callers without tables (used by the equality tests as an independent
+formulation of the same operator).
 """
 
 from __future__ import annotations
@@ -50,28 +60,41 @@ import jax.numpy as jnp
 
 from pysfm_tpu.utils import precision as xp
 
+from pysfm_tpu.solver import scale as scale_mod
 from pysfm_tpu.solver import schur
 
 
 class PCGSystem(NamedTuple):
+    """Component-major (table) or segment_sum (fallback) PCG operator."""
+
     Hcc_aug: jnp.ndarray    # [C, CP, CP] damped camera blocks (psum'd)
-    Hpp_inv: jnp.ndarray    # [P, 3, 3] damped point-block inverses (local)
-    rhs: jnp.ndarray        # [C, CP] reduced rhs (psum'd)
-    g_p: jnp.ndarray        # [P, 3] point gradient (local)
+    hinv6: jnp.ndarray      # [6, P] damped point-block inverses (local)
+    rhs: jnp.ndarray        # [CP, C] reduced rhs (psum'd), component-major
+    g_p: jnp.ndarray        # [3, P] point gradient (local)
     M_inv: jnp.ndarray      # [C, CP, CP] block-Jacobi preconditioner inverse
     # Gathered-domain operands (None on the segment_sum fallback path).
-    Bp: Optional[jnp.ndarray]    # [P, K, CP, 3] masked point-major blocks
-    camg: Optional[jnp.ndarray]  # [P, K] camera id per slot
-    Bg: Optional[jnp.ndarray]    # [C, Kc, CP, 3] masked camera-major blocks
+    Bp: Optional[jnp.ndarray]    # [3*CP, K, P] masked point-major rows
+    camg: Optional[jnp.ndarray]  # [K, P] camera id per slot
+    Bg: Optional[jnp.ndarray]    # [3*CP, C, Kc] masked camera-major rows
     ptg: Optional[jnp.ndarray]   # [C, Kc] point id per slot
     # Fallback per-observation operands (None on the table path).
-    B: Optional[jnp.ndarray]       # [M, CP, 3]
+    B_cm: Optional[jnp.ndarray]    # [3*CP, M]
     obs_cam: Optional[jnp.ndarray]
     obs_pt: Optional[jnp.ndarray]
 
 
+def _eqs_to_cm(eqs: schur.NormalEqs) -> scale_mod.ScaleEqs:
+    """View a standard NormalEqs as component-major (test/fallback entry)."""
+    cp = eqs.Hcc.shape[-1]
+    hpp6 = jnp.stack([eqs.Hpp[:, d, e] for d, e in scale_mod.TRI3])
+    B_cm = jnp.transpose(eqs.B, (2, 1, 0)).reshape(3 * cp, -1)
+    return scale_mod.ScaleEqs(
+        Hcc=eqs.Hcc, g_c=eqs.g_c, hpp6=hpp6, g_p=eqs.g_p.T, B_cm=B_cm
+    )
+
+
 def build_pcg_system(
-    eqs: schur.NormalEqs,
+    eqs,
     lam: jnp.ndarray,
     obs_cam: jnp.ndarray,
     obs_pt: jnp.ndarray,
@@ -82,50 +105,76 @@ def build_pcg_system(
     cam_obs_mask: jnp.ndarray | None = None,
 ) -> PCGSystem:
     """Damp, invert point blocks, build rhs and the block-Jacobi
-    preconditioner — everything except S itself."""
-    C, CP, _ = eqs.Hcc.shape
-    P = eqs.Hpp.shape[0]
+    preconditioner — everything except S itself.
+
+    ``eqs`` is a :class:`scale.ScaleEqs` (the native layout) or a
+    :class:`schur.NormalEqs` (converted; small problems / tests only).
+    """
+    if isinstance(eqs, schur.NormalEqs):
+        eqs = _eqs_to_cm(eqs)
+    C, cp, _ = eqs.Hcc.shape
     Hcc = eqs.Hcc
     g_c = eqs.g_c
     if axis_name is not None:
         Hcc = jax.lax.psum(Hcc, axis_name)
         g_c = jax.lax.psum(g_c, axis_name)
     Hcc_aug = schur.augment_block_diag(Hcc, lam)
-    Hpp_aug = schur.augment_block_diag(eqs.Hpp, lam)
-    Hpp_inv = schur.inv3x3(Hpp_aug)
+    hinv6 = scale_mod.sym6_inv(scale_mod.augment6(eqs.hpp6, lam))
 
     use_tables = pt_obs is not None and cam_obs is not None
-    u0 = xp.einsum("pst,pt->ps", Hpp_inv, eqs.g_p)             # [P, 3]
+    u0 = scale_mod.sym6_mv(hinv6, eqs.g_p)                     # [3, P]
     if use_tables:
-        pmask = pt_obs_mask.astype(eqs.B.dtype)
-        cmask = cam_obs_mask.astype(eqs.B.dtype)
-        Bp = eqs.B[pt_obs] * pmask[..., None, None]            # [P, K, CP, 3]
-        camg = obs_cam[pt_obs]                                 # [P, K]
-        Bg = eqs.B[cam_obs] * cmask[..., None, None]           # [C, Kc, CP, 3]
+        pmask_t = pt_obs_mask.T.astype(eqs.B_cm.dtype)         # [K, P]
+        cmask = cam_obs_mask.astype(eqs.B_cm.dtype)            # [C, Kc]
+        Bp = eqs.B_cm[:, pt_obs.T] * pmask_t                   # [3CP, K, P]
+        camg = obs_cam[pt_obs.T]                               # [K, P]
+        Bg = eqs.B_cm[:, cam_obs] * cmask                      # [3CP, C, Kc]
         ptg = obs_pt[cam_obs]                                  # [C, Kc]
-        # rhs_red[c] = sum_k Bg[c,k] @ (Hpp_inv g_p)[ptg[c,k]].
-        rhs_red = xp.einsum("ckds,cks->cd", Bg, u0[ptg])
+        Bg4 = Bg.reshape(3, cp, C, -1)
+        # rhs_red[d,c] = sum_{s,k} Bg(d,s)[c,k] * u0[s, ptg[c,k]].
+        rhs_red = xp.einsum("sdck,sck->dc", Bg4, u0[:, ptg])
         # Exact block-Jacobi diag: D_c = Hcc_aug[c] - sum_k Bg Hinv Bg^T.
-        BH = xp.einsum("ckds,ckst->ckdt", Bg, Hpp_inv[ptg])    # [C, Kc, CP, 3]
-        D = xp.einsum("ckdt,cket->cde", BH, Bg)
-        B_keep = camg_keep = None
+        a, b, c_, d_, e, f = hinv6[:, ptg]                     # each [C, Kc]
+        B0, B1, B2 = Bg4[0], Bg4[1], Bg4[2]                    # [cp, C, Kc]
+        BH0 = a * B0 + b * B1 + d_ * B2
+        BH1 = b * B0 + c_ * B1 + e * B2
+        BH2 = d_ * B0 + e * B1 + f * B2
+        D = (
+            xp.einsum("dck,eck->cde", BH0, B0)
+            + xp.einsum("dck,eck->cde", BH1, B1)
+            + xp.einsum("dck,eck->cde", BH2, B2)
+        )
+        B_keep = oc_keep = op_keep = None
     else:
-        z = xp.einsum("mcs,ms->mc", eqs.B, u0[obs_pt])          # [M, CP]
-        rhs_red = jax.ops.segment_sum(z, obs_cam, num_segments=C)
-        BtHinv = xp.einsum("mcs,mst->mct", eqs.B, Hpp_inv[obs_pt])
-        D_m = xp.einsum("mct,mdt->mcd", BtHinv, eqs.B)          # [M, CP, CP]
+        B4 = eqs.B_cm.reshape(3, cp, -1)                       # [3, cp, M]
+        u0g = u0[:, obs_pt]                                    # [3, M]
+        z = xp.einsum("scm,sm->cm", B4, u0g)                   # [cp, M]
+        rhs_red = jax.ops.segment_sum(
+            z.T, obs_cam, num_segments=C
+        ).T                                                    # [cp, C]
+        a, b, c_, d_, e, f = hinv6[:, obs_pt]                  # each [M]
+        B0, B1, B2 = B4[0], B4[1], B4[2]                       # [cp, M]
+        BH0 = a * B0 + b * B1 + d_ * B2
+        BH1 = b * B0 + c_ * B1 + e * B2
+        BH2 = d_ * B0 + e * B1 + f * B2
+        D_m = (
+            xp.einsum("dm,em->mde", BH0, B0)
+            + xp.einsum("dm,em->mde", BH1, B1)
+            + xp.einsum("dm,em->mde", BH2, B2)
+        )
         D = jax.ops.segment_sum(D_m, obs_cam, num_segments=C)
         Bp = camg = Bg = ptg = None
+        B_keep, oc_keep, op_keep = eqs.B_cm, obs_cam, obs_pt
     if axis_name is not None:
         rhs_red = jax.lax.psum(rhs_red, axis_name)
         D = jax.lax.psum(D, axis_name)
-    rhs = -g_c + rhs_red
+    rhs = -g_c.T + rhs_red                                     # [cp, C]
     D = Hcc_aug - D
     # Batched Cholesky inverse of the [CP, CP] diagonal blocks; symmetrize
     # first (summation order effects) and fall back to the damped Hcc
     # block if a block is not SPD (can happen transiently at huge lam).
     D = 0.5 * (D + jnp.swapaxes(D, -1, -2))
-    eye = jnp.eye(CP, dtype=D.dtype)
+    eye = jnp.eye(cp, dtype=D.dtype)
     L = jnp.linalg.cholesky(D)
     ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
     L_safe = jnp.where(ok, L, jnp.linalg.cholesky(Hcc_aug))
@@ -133,44 +182,53 @@ def build_pcg_system(
         (L_safe, True), jnp.broadcast_to(eye, D.shape)
     )
     return PCGSystem(
-        Hcc_aug=Hcc_aug, Hpp_inv=Hpp_inv, rhs=rhs, g_p=eqs.g_p, M_inv=M_inv,
+        Hcc_aug=Hcc_aug, hinv6=hinv6, rhs=rhs, g_p=eqs.g_p, M_inv=M_inv,
         Bp=Bp, camg=camg, Bg=Bg, ptg=ptg,
-        B=None if use_tables else eqs.B,
-        obs_cam=None if use_tables else obs_cam,
-        obs_pt=None if use_tables else obs_pt,
+        B_cm=B_keep, obs_cam=oc_keep, obs_pt=op_keep,
     )
 
 
 def _hcpT_x(sys: PCGSystem, x: jnp.ndarray) -> jnp.ndarray:
-    """u = Hcp^T x, point-sized [P, 3]."""
+    """u = Hcp^T x with x [CP, C] component-major; returns [3, P]."""
+    cp = x.shape[0]
     if sys.Bp is not None:
-        return xp.einsum("pkcs,pkc->ps", sys.Bp, x[sys.camg])
-    u_m = xp.einsum("mcs,mc->ms", sys.B, x[sys.obs_cam])        # [M, 3]
+        Bp4 = sys.Bp.reshape(3, cp, *sys.Bp.shape[1:])         # [3,cp,K,P]
+        return xp.einsum("sdkp,dkp->sp", Bp4, x[:, sys.camg])
+    B4 = sys.B_cm.reshape(3, cp, -1)
+    u_m = xp.einsum("sdm,dm->sm", B4, x[:, sys.obs_cam])       # [3, M]
     return jax.ops.segment_sum(
-        u_m, sys.obs_pt, num_segments=sys.Hpp_inv.shape[0]
-    )
+        u_m.T, sys.obs_pt, num_segments=sys.hinv6.shape[1]
+    ).T
 
 
 def _hcp_w(sys: PCGSystem, w: jnp.ndarray, C: int) -> jnp.ndarray:
-    """z = Hcp w, camera-sized [C, CP] (chip-local partial)."""
+    """z = Hcp w with w [3, P]; returns [CP, C] (chip-local partial)."""
     if sys.Bg is not None:
-        return xp.einsum("ckds,cks->cd", sys.Bg, w[sys.ptg])
-    z_m = xp.einsum("mcs,ms->mc", sys.B, w[sys.obs_pt])         # [M, CP]
-    return jax.ops.segment_sum(z_m, sys.obs_cam, num_segments=C)
+        cp = sys.Bg.shape[0] // 3
+        Bg4 = sys.Bg.reshape(3, cp, *sys.Bg.shape[1:])         # [3,cp,C,Kc]
+        return xp.einsum("sdck,sck->dc", Bg4, w[:, sys.ptg])
+    cp = sys.B_cm.shape[0] // 3
+    B4 = sys.B_cm.reshape(3, cp, -1)
+    z_m = xp.einsum("sdm,sm->dm", B4, w[:, sys.obs_pt])        # [cp, M]
+    return jax.ops.segment_sum(z_m.T, sys.obs_cam, num_segments=C).T
 
 
 def schur_matvec(
     sys: PCGSystem, x: jnp.ndarray, axis_name: str | None = None
 ) -> jnp.ndarray:
-    """y = S x with x, y [C, CP]; S never formed."""
+    """y = S x with x, y [CP, C] component-major; S never formed."""
     C = sys.Hcc_aug.shape[0]
     u = _hcpT_x(sys, x)
-    w = xp.einsum("pst,pt->ps", sys.Hpp_inv, u)                 # [P, 3]
+    w = scale_mod.sym6_mv(sys.hinv6, u)                        # [3, P]
     z = _hcp_w(sys, w, C)
     if axis_name is not None:
         z = jax.lax.psum(z, axis_name)
-    y = xp.einsum("cde,ce->cd", sys.Hcc_aug, x)
+    y = xp.einsum("cde,ec->dc", sys.Hcc_aug, x)
     return y - z
+
+
+def _precond(sys: PCGSystem, r: jnp.ndarray) -> jnp.ndarray:
+    return xp.einsum("cde,ec->dc", sys.M_inv, r)
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -184,7 +242,7 @@ def pcg_solve(
     max_iters: int = 100,
     axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """Preconditioned CG for S dc = rhs; returns dc [C, CP].
+    """Preconditioned CG for S dc = rhs; returns dc [CP, C].
 
     Note on distributed determinism: every quantity entering the CG
     scalars is psum'd (hence bitwise-identical across chips given the
@@ -193,7 +251,7 @@ def pcg_solve(
     b = sys.rhs
     x0 = jnp.zeros_like(b)
     r0 = b                                    # x0 = 0 => r = b - S x0 = b
-    z0 = xp.einsum("cde,ce->cd", sys.M_inv, r0)
+    z0 = _precond(sys, r0)
     b_norm = jnp.sqrt(_dot(b, b))
     thresh = tol * jnp.maximum(b_norm, jnp.asarray(1e-30, b.dtype))
 
@@ -221,7 +279,7 @@ def pcg_solve(
         )
         x = x + alpha * p
         r = r - alpha * Sp
-        z = xp.einsum("cde,ce->cd", sys.M_inv, r)
+        z = _precond(sys, r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
         p = z + beta * p
@@ -233,14 +291,15 @@ def pcg_solve(
 
 
 def back_substitute(sys: PCGSystem, dc: jnp.ndarray) -> jnp.ndarray:
-    """dp = -Hpp_inv (g_p + Hcp^T dc) — identical to the dense path but from
-    the gathered coupling blocks (local to the chip's point shard)."""
+    """dp = -Hpp_inv (g_p + Hcp^T dc), component-major [3, P]; ``dc``
+    [CP, C] — identical to the dense path but from the gathered rows
+    (local to the chip's point shard)."""
     u = _hcpT_x(sys, dc)
-    return -xp.einsum("pst,pt->ps", sys.Hpp_inv, sys.g_p + u)
+    return -scale_mod.sym6_mv(sys.hinv6, sys.g_p + u)
 
 
 def solve_step_pcg(
-    eqs: schur.NormalEqs,
+    eqs,
     lam: jnp.ndarray,
     obs_cam: jnp.ndarray,
     obs_pt: jnp.ndarray,
@@ -253,7 +312,9 @@ def solve_step_pcg(
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for :func:`schur.solve_step_dense` at scale."""
+    """Drop-in replacement for :func:`schur.solve_step_dense` at scale.
+
+    Returns ``(dc [C, CP], dp [P, 3])`` in the standard layout."""
     sys = build_pcg_system(
         eqs, lam, obs_cam, obs_pt, axis_name,
         pt_obs=pt_obs, pt_obs_mask=pt_obs_mask,
@@ -266,4 +327,4 @@ def solve_step_pcg(
     sys = jax.lax.optimization_barrier(sys)
     dc = pcg_solve(sys, tol=tol, max_iters=max_iters, axis_name=axis_name)
     dp = back_substitute(sys, dc)
-    return dc, dp
+    return dc.T, dp.T

@@ -57,13 +57,13 @@ def test_matvec_against_materialized_s(scene):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(C, CP)))
     y_dense = (sys_d.S @ x.reshape(-1)).reshape(C, CP)
-    y_imp = pcg.schur_matvec(sys_p, x)
+    y_imp = pcg.schur_matvec(sys_p, x.T)               # component-major
     np.testing.assert_allclose(
-        np.asarray(y_imp), np.asarray(y_dense), rtol=1e-9, atol=1e-9
+        np.asarray(y_imp), np.asarray(y_dense).T, rtol=1e-9, atol=1e-9
     )
-    # rhs agrees too (dense path keeps it flat).
+    # rhs agrees too (dense path keeps it flat, cm path [CP, C]).
     np.testing.assert_allclose(
-        np.asarray(sys_p.rhs).reshape(-1), np.asarray(sys_d.rhs),
+        np.asarray(sys_p.rhs).T.reshape(-1), np.asarray(sys_d.rhs),
         rtol=1e-9, atol=1e-9,
     )
 

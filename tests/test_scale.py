@@ -37,15 +37,27 @@ def _reference_eqs(p):
 
 @pytest.mark.parametrize("obs_chunk", [0, 256, 1000])
 def test_scale_build_matches_reference(scene, obs_chunk):
-    """Chunked + table-domain build == segment_sum build (f64 exact-ish).
-
-    obs_chunk=1000 does not divide M, exercising the padding tail."""
+    """Chunked + table-domain component-major build == segment_sum build
+    (f64 exact-ish).  obs_chunk=1000 does not divide M, exercising the
+    padding tail."""
     p = scene.problem
     ref = _reference_eqs(p)
     got = scale.build_normal_equations_scale(p, obs_chunk)
-    for name in ("Hcc", "Hpp", "g_c", "g_p", "B"):
+    cp = p.cam_dof
+    M = p.n_obs
+    ref_hpp6 = np.stack(
+        [np.asarray(ref.Hpp)[:, d, e] for d, e in scale.TRI3]
+    )
+    ref_b_cm = np.transpose(np.asarray(ref.B), (2, 1, 0)).reshape(3 * cp, M)
+    for name, want in (
+        ("Hcc", np.asarray(ref.Hcc)),
+        ("g_c", np.asarray(ref.g_c)),
+        ("hpp6", ref_hpp6),
+        ("g_p", np.asarray(ref.g_p).T),
+        ("B_cm", ref_b_cm),
+    ):
         np.testing.assert_allclose(
-            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            np.asarray(getattr(got, name)), want,
             rtol=1e-9, atol=1e-9, err_msg=name,
         )
 
@@ -53,25 +65,26 @@ def test_scale_build_matches_reference(scene, obs_chunk):
 def test_pcg_tables_matvec_matches_dense_s(scene):
     """S x through the gathered-domain operator == materialized dense S x."""
     p = scene.problem
+    ref = _reference_eqs(p)
     eqs = scale.build_normal_equations_scale(p, 0)
     lam = jnp.asarray(1e-2, p.X.dtype)
-    sys_d = schur.reduce_dense(eqs, lam, p.obs_cam, p.obs_pt)
+    sys_d = schur.reduce_dense(ref, lam, p.obs_cam, p.obs_pt)
     sys_t = pcg.build_pcg_system(
         eqs, lam, p.obs_cam, p.obs_pt,
         pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
         cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
     )
-    assert sys_t.Bp is not None and sys_t.B is None  # table path taken
-    C, CP, _ = eqs.Hcc.shape
+    assert sys_t.Bp is not None and sys_t.B_cm is None  # table path taken
+    C, CP, _ = ref.Hcc.shape
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(C, CP)))
     y_dense = (sys_d.S @ x.reshape(-1)).reshape(C, CP)
-    y_tab = pcg.schur_matvec(sys_t, x)
+    y_tab = pcg.schur_matvec(sys_t, x.T)               # component-major
     np.testing.assert_allclose(
-        np.asarray(y_tab), np.asarray(y_dense), rtol=1e-9, atol=1e-9
+        np.asarray(y_tab), np.asarray(y_dense).T, rtol=1e-9, atol=1e-9
     )
     np.testing.assert_allclose(
-        np.asarray(sys_t.rhs).reshape(-1), np.asarray(sys_d.rhs),
+        np.asarray(sys_t.rhs).T.reshape(-1), np.asarray(sys_d.rhs),
         rtol=1e-9, atol=1e-9,
     )
 

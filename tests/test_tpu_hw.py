@@ -1,0 +1,163 @@
+"""On-hardware test tier (VERDICT r1 item 5): runs ONLY on the real TPU.
+
+Invoke once per round with
+
+    PALLAS_AXON_POOL_IPS unset-untouched (TPU tunnel live)
+    PYSFM_TEST_PLATFORM=axon,cpu python3 -m pytest tests/test_tpu_hw.py -q -s
+
+and commit the captured output (``TPU_PARITY_r{N}.txt``).  The whole suite
+skips on any non-TPU backend, so CI on the CPU mesh is unaffected.
+
+What it converts from comment to evidence (SURVEY §7 "f64 parity on TPU" —
+the top schedule risk; BASELINE north-star "final reprojection RMSE ±1e-6"):
+
+1. compiled Pallas projection kernel == jax path ON DEVICE (the CPU suite
+   only checks interpret mode);
+2. the f32 TPU full solve on BASELINE config 1 (two-view) reaches the same
+   final cost/RMSE as the f64 oracle (pure-NumPy, reference-style LM);
+3. the f32 TPU full solve on BASELINE config 3 (50 cams / 10k pts robust +
+   outliers) matches the f64 CPU solve of this framework (same code, CPU
+   backend in-process via JAX_PLATFORMS=axon,cpu).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    pytest.skip(
+        "on-hardware tier: requires the real TPU "
+        "(PYSFM_TEST_PLATFORM=axon,cpu)",
+        allow_module_level=True,
+    )
+
+from pysfm_tpu.pipeline import synthetic
+from pysfm_tpu.problem import problem as problem_mod
+from pysfm_tpu.solver import LMConfig, solve
+from pysfm_tpu.solver.kernels import pallas_proj
+from pysfm_tpu.utils import metrics
+
+
+def _f32_scene(*args, **kw):
+    kw.setdefault("dtype", np.float32)
+    return synthetic.make_scene(*args, **kw)
+
+
+def test_pallas_equals_jax_compiled_on_tpu():
+    """Compiled (not interpret-mode) Pallas kernel vs the jax projection
+    path, on device, f32 — row layout and the component-major layout."""
+    sc = _f32_scene(8, 500, noise_px=0.5, visibility=0.5,
+                    robust="huber", robust_scale=2.0, seed=3)
+    p = sc.problem
+    a = jax.jit(problem_mod.residuals_and_jacobians)(p)
+    b = jax.jit(pallas_proj.residuals_and_jacobians_pallas)(p)
+    scale = float(jnp.max(jnp.abs(p.obs_uv))) + 1.0
+    for x, y, name in zip(a, b, ("r", "J_cam", "J_pt", "w")):
+        err = float(jnp.max(jnp.abs(x - y)))
+        print(f"  pallas-vs-jax {name}: max abs err {err:.3e}")
+        assert err < 1e-3 * scale, (name, err)
+
+    rt, Jct, Jpt, wt = jax.jit(
+        pallas_proj.residuals_and_jacobians_pallas_cm
+    )(p)
+    r, J_cam, J_pt, w = a
+    M = r.shape[0]
+    for x, y, name in zip(
+        (rt, Jct, Jpt, wt),
+        (r.T, J_cam.reshape(M, -1).T, J_pt.reshape(M, 6).T, w),
+        ("r_cm", "J_cam_cm", "J_pt_cm", "w_cm"),
+    ):
+        err = float(jnp.max(jnp.abs(x - y)))
+        print(f"  pallas-cm-vs-jax {name}: max abs err {err:.3e}")
+        assert err < 1e-3 * scale, (name, err)
+
+
+def test_two_view_f32_tpu_matches_f64_oracle():
+    """BASELINE config 1: the f32 TPU solve lands on the oracle's optimum.
+
+    Tolerance note: BASELINE's ±1e-6 parity bound is an f64 statement (the
+    CPU suite asserts it at 1e-6 rel in tests/test_lm.py).  In f32 the cost
+    itself only carries ~1e-7 relative resolution and the iterates take a
+    different rounding path, so the achieved-optimum comparison is bounded
+    at 1e-4 relative on final cost and 1e-3 px on final RMSE — both far
+    below the 0.5 px noise floor the solve converges to.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle_numpy import Oracle
+
+    sc = _f32_scene(2, 100, noise_px=0.5, seed=1)
+    p = sc.problem
+    cfg = LMConfig(max_iters=40)
+    solved, stats = solve(p, cfg)
+    cost_tpu = float(np.asarray(stats.costs)[int(stats.n_iters)])
+    rmse_tpu = float(metrics.reprojection_rmse(solved))
+
+    oracle = Oracle(
+        p.camera_model,
+        np.asarray(p.R, np.float64), np.asarray(p.t, np.float64),
+        np.asarray(p.intr, np.float64), np.asarray(p.X, np.float64),
+        np.asarray(p.obs_cam), np.asarray(p.obs_pt),
+        np.asarray(p.obs_uv, np.float64),
+    )
+    costs = oracle.optimize(max_iters=40)
+    cost_ref = float(costs[-1])
+    rel = abs(cost_tpu - cost_ref) / cost_ref
+    print(f"  two-view final cost: tpu-f32 {cost_tpu:.8g} "
+          f"oracle-f64 {cost_ref:.8g} rel {rel:.2e}; rmse {rmse_tpu:.6f} px")
+    assert rel < 1e-4
+    assert rmse_tpu < 0.6  # 0.5 px injected noise floor
+
+
+def test_robust_ba_f32_tpu_matches_f64_cpu():
+    """BASELINE config 3 at f32 on TPU vs the same solve at f64 on the CPU
+    backend (in-process, JAX_PLATFORMS=axon,cpu)."""
+    cpu = jax.devices("cpu")[0]
+    cfg = LMConfig(max_iters=30, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0)
+
+    sc32 = _f32_scene(
+        50, 10_000, noise_px=0.5, outlier_frac=0.05, outlier_px=40.0,
+        visibility=0.3, robust="huber", robust_scale=2.0, seed=42,
+    )
+    solved32, st32 = solve(sc32.problem, cfg)
+    cost32 = float(np.asarray(st32.costs)[-1])
+
+    sc64 = synthetic.make_scene(
+        50, 10_000, noise_px=0.5, outlier_frac=0.05, outlier_px=40.0,
+        visibility=0.3, robust="huber", robust_scale=2.0, seed=42,
+        dtype=np.float64,
+    )
+    with jax.default_device(cpu):
+        p64 = jax.device_put(sc64.problem, cpu)
+        solved64, st64 = solve(p64, cfg)
+    cost64 = float(np.asarray(st64.costs)[-1])
+    rel = abs(cost32 - cost64) / cost64
+    acc32 = int(np.asarray(st32.accepted).sum())
+    acc64 = int(np.asarray(st64.accepted).sum())
+    print(f"  robust-BA final cost: tpu-f32 {cost32:.8g} cpu-f64 {cost64:.8g}"
+          f" rel {rel:.2e} (accepted {acc32}/{acc64})")
+    assert rel < 5e-3
+
+
+def test_pcg_path_f32_tpu_matches_dense():
+    """The BAL-scale PCG path on hardware agrees with the dense-W path on
+    the same mid-size problem (both f32, on device)."""
+    sc = _f32_scene(30, 3_000, noise_px=0.5, visibility=0.3,
+                    robust="huber", robust_scale=2.0, seed=7)
+    cfg_d = LMConfig(max_iters=15, tol_grad=0.0, tol_cost_rel=0.0,
+                     tol_step=0.0)
+    cfg_p = LMConfig(max_iters=15, tol_grad=0.0, tol_cost_rel=0.0,
+                     tol_step=0.0, solver="pcg", cg_iters=100, cg_tol=1e-6)
+    _, st_d = solve(sc.problem, cfg_d)
+    _, st_p = solve(sc.problem, cfg_p)
+    cd = float(np.asarray(st_d.costs)[-1])
+    cp = float(np.asarray(st_p.costs)[-1])
+    rel = abs(cd - cp) / cd
+    print(f"  pcg-vs-dense final cost: dense {cd:.8g} pcg {cp:.8g} "
+          f"rel {rel:.2e}")
+    assert rel < 5e-3
