@@ -164,6 +164,35 @@ def main():
     report("pcg_matvec", timeit(mv, sysm, x, n=args.reps),
            flops_mv, bytes_mv)
 
+    # --- Stage 5: BAL-scale build + system (component-major, obs-chunked) --
+    from pysfm_tpu.solver import scale as scale_mod
+
+    K = p.pt_obs.shape[1]
+    Kc = p.cam_obs.shape[1]
+    chunk = min(1 << 17, M)
+    build_s = jax.jit(
+        lambda p: scale_mod.build_normal_equations_scale(p, chunk)
+    )
+    # Traffic: payload write [3CP+Rc+9, M]; reductions read the rows once
+    # more through the tables.  FLOPs ~ jac (150/obs) + block products.
+    rc = CP * (CP + 3) // 2
+    rows_w = 3 * CP + rc + 9
+    bytes_sb = (M * rows_w * 2 + C * Kc * rc + P * K * 9) * f4
+    flops_sb = M * (150 + 2 * (3 * CP + rc + 9))
+    report("scale_build", timeit(build_s, p, n=args.reps),
+           flops_sb, bytes_sb)
+    eqs_s = build_s(p)
+
+    sys_b = jax.jit(lambda e, lam: pcg.build_pcg_system(
+        e, lam, p.obs_cam, p.obs_pt,
+        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask))
+    # Gathers Bp/Bg (2 x 3CP*M), block-jacobi D (C*Kc*(3CP+CP^2)), inverses.
+    bytes_ps = (M * 3 * CP * 4 + C * Kc * (3 * CP + 3) + C * CP * CP * 3) * f4
+    flops_ps = C * Kc * (CP * 9 + CP * CP * 3) * 2 + C * CP ** 3
+    report("pcg_system_build", timeit(sys_b, eqs_s, lam, n=args.reps),
+           flops_ps, bytes_ps)
+
     print(json.dumps({"roofline": rows, "device": str(dev)}))
 
 

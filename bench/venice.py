@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -21,20 +22,27 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# Keep the host CPU backend registered alongside the TPU so scene
+# generation can project on-host (tunnel transfers cost minutes at scale).
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
 
 def main():
     import jax
 
     from pysfm_tpu.pipeline import synthetic
     from pysfm_tpu.utils.timing import sync
-    from pysfm_tpu.solver import LMConfig, solve
+    from pysfm_tpu.solver import LMConfig
+    from pysfm_tpu.solver.lm import solve_segmented
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=1712)
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--mean-track", type=float, default=5.0)
     ap.add_argument("--max-track", type=int, default=12)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=18)
     ap.add_argument("--cg-iters", type=int, default=50)
     ap.add_argument("--cg-tol", type=float, default=1e-4)
     ap.add_argument("--obs-chunk", type=int, default=1 << 19)
@@ -60,15 +68,18 @@ def main():
         solver="pcg", cg_iters=args.cg_iters, cg_tol=args.cg_tol,
         obs_chunk=args.obs_chunk,
     )
+    # Segmented dispatch: a single while_loop dispatch that runs for
+    # minutes gets the tunneled worker killed (measured: 10x ~4s
+    # iterations OK, 15x dies); 6-iteration segments stay well under the
+    # limit and cost one ~100ms scalar sync each.
     t0 = time.perf_counter()
-    solved, stats = solve(p, cfg)
-    sync(stats.costs)
+    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6)
     t_first = time.perf_counter() - t0
     print(f"# compile+run: {t_first:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    solved, stats = solve(p, cfg)
-    sync(stats.costs)
+    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6)
+    sync(solved.X)
     dt = time.perf_counter() - t0
     costs = np.asarray(stats.costs, dtype=np.float64)
     accepted = int(np.asarray(stats.accepted).sum())

@@ -52,8 +52,16 @@ def _local_problem(sp: ShardedProblem) -> problem_mod.BundleProblem:
     )
 
 
-def _cost(lp: problem_mod.BundleProblem) -> jnp.ndarray:
-    """Chip-local robust cost; caller psums."""
+def _cost(
+    lp: problem_mod.BundleProblem, obs_chunk: int = 0
+) -> jnp.ndarray:
+    """Chip-local robust cost; caller psums.  ``obs_chunk`` > 0 bounds the
+    per-chunk gather the same way as the single-chip pcg path (the plain
+    [Ml, 3, 3] rotation gather tiles 10x on TPU — scale.cost_scale)."""
+    if obs_chunk > 0:
+        from pysfm_tpu.solver import scale as scale_mod
+
+        return scale_mod.cost_scale(lp, obs_chunk)
     r = problem_mod.residuals(lp)
     s = jnp.sum(r * r, axis=-1)
     return 0.5 * jnp.sum(
@@ -78,7 +86,7 @@ def solve_sharded(
     )
     stats_spec = LMStats(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
-        n_iters=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(),
     )
 
     @partial(
@@ -101,7 +109,7 @@ def solve_sharded(
         dtype = sp_local.X.dtype
         n_it = config.max_iters
         lp0 = _local_problem(sp_local)
-        init_cost = jax.lax.psum(_cost(lp0), AXIS)
+        init_cost = jax.lax.psum(_cost(lp0, config.obs_chunk if config.solver == "pcg" else 0), AXIS)
 
         stats = LMStats(
             costs=jnp.full((n_it + 1,), jnp.nan, dtype).at[0].set(init_cost),
@@ -110,6 +118,8 @@ def solve_sharded(
             grad_inf=jnp.full((n_it,), jnp.nan, dtype),
             step_norms=jnp.full((n_it,), jnp.nan, dtype),
             n_iters=jnp.asarray(0),
+            lam_next=jnp.asarray(config.lam0, dtype),
+            nu_next=jnp.asarray(2.0, dtype),
         )
         state = (
             sp_local,
@@ -190,7 +200,7 @@ def solve_sharded(
                     pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
                 )
             cand = problem_mod.apply_update(lp, dc, dp)
-            new_cost = jax.lax.psum(_cost(cand), AXIS)
+            new_cost = jax.lax.psum(_cost(cand, config.obs_chunk if config.solver == "pcg" else 0), AXIS)
             if config.solver == "pcg":
                 from pysfm_tpu.solver import scale
 
@@ -251,7 +261,10 @@ def solve_sharded(
 
         spl, lam, nu, cost0, it, done, st = jax.lax.while_loop(cond, body, state)
         it_idx = jnp.arange(n_it + 1)
-        st = st.replace(costs=jnp.where(it_idx <= it, st.costs, cost0))
+        st = st.replace(
+            costs=jnp.where(it_idx <= it, st.costs, cost0),
+            lam_next=lam, nu_next=nu,
+        )
         # Restore the local shard axis for the sharded out_specs.
         spl = spl.replace(
             X=spl.X[None], pt_mask=spl.pt_mask[None],

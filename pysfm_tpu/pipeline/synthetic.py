@@ -133,22 +133,37 @@ def make_bal_scene(
     import jax
     import jax.numpy as jnp
 
-    # Project in chunks (device-friendly, bounds host<->device transfers).
+    # Project on the HOST CPU backend when available: through the tunneled
+    # axon TPU runtime, shipping the gathered [M, ...] operands for scene
+    # generation costs minutes of transfer at Venice scale (measured 770 s
+    # vs 5 s all-CPU at quarter scale) for work the device finishes in ms.
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
     M = cam_idx.shape[0]
     uv = np.empty((M, 2), dtype=np.float64)
     proj = jax.jit(
         lambda Rg, tg, ig, Xg: projection.project(camera_model, Rg, tg, ig, Xg)
     )
+    import contextlib
+
+    ctx = (
+        jax.default_device(cpu_dev)
+        if cpu_dev is not None
+        else contextlib.nullcontext()
+    )
     chunk = 1 << 20
-    for lo in range(0, M, chunk):
-        hi = min(lo + chunk, M)
-        ci, pi = cam_idx[lo:hi], pt_idx[lo:hi]
-        uv[lo:hi] = np.asarray(
-            proj(
-                jnp.asarray(R[ci]), jnp.asarray(t[ci]),
-                jnp.asarray(intr[ci]), jnp.asarray(X[pi]),
+    with ctx:
+        for lo in range(0, M, chunk):
+            hi = min(lo + chunk, M)
+            ci, pi = cam_idx[lo:hi], pt_idx[lo:hi]
+            uv[lo:hi] = np.asarray(
+                proj(
+                    jnp.asarray(R[ci]), jnp.asarray(t[ci]),
+                    jnp.asarray(intr[ci]), jnp.asarray(X[pi]),
+                )
             )
-        )
     if noise_px > 0:
         uv += rng.normal(scale=noise_px, size=uv.shape)
     if outlier_frac > 0:

@@ -40,6 +40,10 @@ class LMStats:
     grad_inf: jnp.ndarray    # [max_iters] inf-norm of the gradient
     step_norms: jnp.ndarray  # [max_iters]
     n_iters: jnp.ndarray     # scalar int: iterations actually executed
+    lam_next: jnp.ndarray    # scalar: damping state AFTER the last iteration
+    nu_next: jnp.ndarray     # scalar: Nielsen growth state after the last
+                             # iteration (lam_next/nu_next let a segmented or
+                             # checkpointed solve continue exactly)
 
 
 class _State(struct.PyTreeNode):
@@ -58,12 +62,37 @@ def _select(pred, a, b):
 
 @partial(jax.jit, static_argnames=("config",))
 def solve(
-    prob: problem_mod.BundleProblem, config: LMConfig = LMConfig()
+    prob: problem_mod.BundleProblem,
+    config: LMConfig = LMConfig(),
+    lam_init=None,
+    nu_init=None,
 ) -> Tuple[problem_mod.BundleProblem, LMStats]:
-    """Run LM to convergence (or ``config.max_iters``) entirely on device."""
+    """Run LM to convergence (or ``config.max_iters``) entirely on device.
+
+    ``lam_init``/``nu_init`` (runtime scalars, optional) override the
+    damping state so a segmented/checkpointed solve continues exactly
+    where a previous dispatch stopped without recompiling per segment."""
     dtype = prob.X.dtype
     n_it = config.max_iters
-    init_cost = problem_mod.cost(prob)
+    if config.solver == "pcg":
+        # Obs-chunked cost: the plain cost's [M, 3, 3] rotation gather
+        # tiles to 20 GB at Venice scale (see scale.cost_scale).
+        from pysfm_tpu.solver import scale as scale_mod
+
+        cost_fn = lambda q: scale_mod.cost_scale(q, config.obs_chunk)  # noqa: E731
+    else:
+        cost_fn = problem_mod.cost
+    init_cost = cost_fn(prob)
+    lam0 = (
+        jnp.asarray(config.lam0, dtype)
+        if lam_init is None
+        else jnp.asarray(lam_init, dtype)
+    )
+    nu0 = (
+        jnp.asarray(2.0, dtype)
+        if nu_init is None
+        else jnp.asarray(nu_init, dtype)
+    )
     stats = LMStats(
         costs=jnp.full((n_it + 1,), jnp.nan, dtype).at[0].set(init_cost),
         lams=jnp.full((n_it,), jnp.nan, dtype),
@@ -71,11 +100,13 @@ def solve(
         grad_inf=jnp.full((n_it,), jnp.nan, dtype),
         step_norms=jnp.full((n_it,), jnp.nan, dtype),
         n_iters=jnp.asarray(0),
+        lam_next=lam0,
+        nu_next=nu0,
     )
     state = _State(
         prob=prob,
-        lam=jnp.asarray(config.lam0, dtype),
-        nu=jnp.asarray(2.0, dtype),
+        lam=lam0,
+        nu=nu0,
         cost=init_cost,
         it=jnp.asarray(0),
         done=jnp.asarray(False),
@@ -154,7 +185,7 @@ def solve(
                 pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
             )
         cand = problem_mod.apply_update(p, dc, dp)
-        new_cost = problem_mod.cost(cand)
+        new_cost = cost_fn(cand)
         if config.solver == "pcg":
             from pysfm_tpu.solver import scale
 
@@ -230,4 +261,68 @@ def solve(
     costs = jnp.where(
         it_idx <= final.it, final.stats.costs, final.cost
     )
-    return final.prob, final.stats.replace(costs=costs)
+    return final.prob, final.stats.replace(
+        costs=costs, lam_next=final.lam, nu_next=final.nu
+    )
+
+
+def solve_segmented(
+    prob: problem_mod.BundleProblem,
+    config: LMConfig = LMConfig(),
+    iters_per_dispatch: int = 6,
+) -> Tuple[problem_mod.BundleProblem, LMStats]:
+    """Host-driven segmentation of :func:`solve` for VERY long-running
+    problems: runs ``config.max_iters`` as segments of
+    ``iters_per_dispatch`` iterations, each a single on-device
+    ``while_loop`` dispatch, carrying (lam, nu) across segments exactly.
+
+    Why: through the tunneled axon runtime a single device dispatch that
+    runs for minutes gets the worker killed ("TPU worker process crashed"),
+    and even on a healthy pod a bounded dispatch gives natural checkpoint /
+    progress points at Venice scale (~4 s/iteration).  Per-segment host
+    round-trip is one scalar sync (~100 ms) — noise against the segment.
+
+    Compiles at most twice (full segment + remainder segment).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    total = config.max_iters
+    k = max(1, iters_per_dispatch)
+    cfg_seg = dataclasses.replace(config, max_iters=k)
+    lam = jnp.asarray(config.lam0, prob.X.dtype)
+    nu = jnp.asarray(2.0, prob.X.dtype)
+    p = prob
+    costs = []
+    lams, accepted, grad_inf, step_norms = [], [], [], []
+    n_done = 0
+    while n_done < total:
+        kk = min(k, total - n_done)
+        cfg_k = cfg_seg if kk == k else dataclasses.replace(
+            config, max_iters=kk
+        )
+        p, st = solve(p, cfg_k, lam_init=lam, nu_init=nu)
+        n_it = int(st.n_iters)
+        seg_costs = np.asarray(st.costs)
+        if not costs:
+            costs.append(seg_costs[:1])
+        costs.append(seg_costs[1 : n_it + 1])
+        lams.append(np.asarray(st.lams)[:n_it])
+        accepted.append(np.asarray(st.accepted)[:n_it])
+        grad_inf.append(np.asarray(st.grad_inf)[:n_it])
+        step_norms.append(np.asarray(st.step_norms)[:n_it])
+        lam, nu = st.lam_next, st.nu_next
+        n_done += n_it
+        if n_it < kk:  # converged inside the segment
+            break
+    return p, LMStats(
+        costs=np.concatenate(costs),
+        lams=np.concatenate(lams),
+        accepted=np.concatenate(accepted),
+        grad_inf=np.concatenate(grad_inf),
+        step_norms=np.concatenate(step_norms),
+        n_iters=np.asarray(n_done),
+        lam_next=np.asarray(lam),
+        nu_next=np.asarray(nu),
+    )

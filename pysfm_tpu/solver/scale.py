@@ -219,6 +219,43 @@ def augment6(h6: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("obs_chunk",))
+def cost_scale(
+    p: problem_mod.BundleProblem, obs_chunk: int = 0
+) -> jnp.ndarray:
+    """Robust cost, obs-chunked.  The unchunked
+    :func:`problem.cost` gathers ``R[obs_cam] [M, 3, 3]`` — whose (3, 3)
+    tail tiles to (8, 128), a 20 GB buffer at Venice scale that crashes the
+    worker; here the gather lives one chunk at a time inside ``lax.map``."""
+    M = p.n_obs
+    obs_chunk = min(obs_chunk or (1 << 18), M)
+    n_chunks = -(-M // obs_chunk)
+    pad = n_chunks * obs_chunk - M
+
+    def padded(x):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    oc = padded(p.obs_cam).reshape(n_chunks, obs_chunk)
+    op = padded(p.obs_pt).reshape(n_chunks, obs_chunk)
+    uv = padded(p.obs_uv).reshape(n_chunks, obs_chunk, 2)
+    wc = padded(p.obs_w).reshape(n_chunks, obs_chunk)
+
+    def chunk_cost(args):
+        oci, opi, uvi, wi = args
+        uvh = projection.project(
+            p.camera_model, p.R[oci], p.t[oci], p.intr[oci], p.X[opi]
+        )
+        r = uvh - uvi
+        s = jnp.sum(r * r, axis=-1)
+        return jnp.sum(wi * robust_mod.rho(p.robust, s, p.robust_scale))
+
+    parts = jax.lax.map(chunk_cost, (oc, op, uv, wc))
+    return 0.5 * jnp.sum(parts)
+
+
 def predicted_reduction_scale(
     eqs: ScaleEqs,
     lam: jnp.ndarray,

@@ -128,3 +128,26 @@ def test_windowed_ba_via_fixed_mask():
     solved, _ = solve(p, LMConfig(max_iters=30))
     assert rmse_px(solved) < 1e-6
     np.testing.assert_array_equal(np.asarray(solved.R[:4]), np.asarray(p.R[:4]))
+
+
+def test_solve_segmented_matches_monolithic():
+    """Segmented dispatch (lam/nu carried across segments) == one
+    while_loop dispatch, bit-for-bit in f64."""
+    from pysfm_tpu.pipeline import synthetic as _syn
+    from pysfm_tpu.solver.lm import solve_segmented
+
+    sc = _syn.make_scene(6, 200, noise_px=0.5, visibility=0.7, seed=21)
+    cfg = LMConfig(
+        max_iters=13, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0
+    )
+    _, st_mono = solve(sc.problem, cfg)
+    _, st_seg = solve_segmented(sc.problem, cfg, iters_per_dispatch=5)
+    np.testing.assert_allclose(
+        np.asarray(st_seg.costs), np.asarray(st_mono.costs), rtol=1e-14
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_seg.accepted), np.asarray(st_mono.accepted)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_seg.lams), np.asarray(st_mono.lams), rtol=1e-14
+    )

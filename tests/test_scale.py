@@ -149,3 +149,12 @@ def test_mini_bal_scene_solves():
     costs = np.asarray(st.costs)
     assert np.isfinite(costs[-1])
     assert costs[-1] < costs[0] * 0.05
+
+
+@pytest.mark.parametrize("obs_chunk", [0, 777])
+def test_cost_scale_matches_plain(scene, obs_chunk):
+    """Obs-chunked cost == plain cost (f64; differing summation order)."""
+    p = scene.problem
+    c_plain = float(problem_mod.cost(p))
+    c_chunk = float(scale.cost_scale(p, obs_chunk))
+    np.testing.assert_allclose(c_chunk, c_plain, rtol=1e-12)
