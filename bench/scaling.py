@@ -82,11 +82,32 @@ def main():
         print(f"n={n:2d}  {ips:8.2f} iters/s  speedup {ips/t1:5.2f}x  "
               f"efficiency {100*eff:5.1f}%")
 
-    print(json.dumps({
+    out = {
         "scaling": results,
         "platform": jax.default_backend(),
-        "note": "virtual CPU mesh unless run on a real slice",
-    }))
+    }
+    if jax.default_backend() == "cpu":
+        # All N virtual devices share ONE physical host, so total work is
+        # constant and speedup cannot exceed 1 by construction.  The
+        # meaningful figure here is distribution overhead: how much slower
+        # the n-way sharded program (collectives, replication, padding) is
+        # than the 1-device program on the same silicon.  ~1.0 means the
+        # sharded path adds no overhead; on real chips the same program's
+        # per-chip work drops ~1/n (SURVEY §4: same shard_map code path).
+        out["distribution_overhead"] = [
+            {
+                "devices": r["devices"],
+                "t_n_over_t_1": round(t1 / r["iters_per_s"], 3),
+            }
+            for r in results
+        ]
+        out["note"] = (
+            "virtual CPU mesh: N devices share one host, so speedup is "
+            "structurally capped at 1.0; read distribution_overhead "
+            "(~1.0 = sharding adds no cost). Run on a real slice for "
+            "chip-scaling figures."
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -20,11 +20,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # tunneled TPU chip), and running the f64 test suite there is both slow
 # (every jit is a remote TPU compile) and unsupported (no f64 eigh/svd on
 # TPU).  Set PYSFM_TEST_PLATFORM to override deliberately.
-os.environ["JAX_PLATFORMS"] = os.environ.get("PYSFM_TEST_PLATFORM", "cpu")
+_plat = os.environ.get("PYSFM_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
+# x64 everywhere EXCEPT the on-hardware tier: f64 temporaries (and i64
+# iota/index types) inside the Pallas kernels fail Mosaic legalization on
+# the TPU, and the TPU tier deliberately tests the f32 production path.
+jax.config.update("jax_enable_x64", "axon" not in _plat)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -114,9 +114,17 @@ def test_two_view_f32_tpu_matches_f64_oracle():
     assert rmse_tpu < 0.6  # 0.5 px injected noise floor
 
 
-def test_robust_ba_f32_tpu_matches_f64_cpu():
-    """BASELINE config 3 at f32 on TPU vs the same solve at f64 on the CPU
-    backend (in-process, JAX_PLATFORMS=axon,cpu)."""
+def test_robust_ba_f32_tpu_matches_cpu():
+    """BASELINE config 3 at f32 on TPU vs the identical f32 solve on the
+    CPU backend (in-process, JAX_PLATFORMS=axon,cpu).
+
+    This is the check that caught the round-1 TPU matmul-precision bug
+    (bf16-accumulated matmuls): same code, same dtype, different backend —
+    any divergence is a TPU-specific numeric issue (the f64 parity story
+    is carried by the two-view oracle test above; this tier runs with x64
+    off because f64/i64 in the Pallas kernels fail Mosaic legalization)."""
+    import dataclasses
+
     cpu = jax.devices("cpu")[0]
     cfg = LMConfig(max_iters=30, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0)
 
@@ -127,20 +135,19 @@ def test_robust_ba_f32_tpu_matches_f64_cpu():
     solved32, st32 = solve(sc32.problem, cfg)
     cost32 = float(np.asarray(st32.costs)[-1])
 
-    sc64 = synthetic.make_scene(
-        50, 10_000, noise_px=0.5, outlier_frac=0.05, outlier_px=40.0,
-        visibility=0.3, robust="huber", robust_scale=2.0, seed=42,
-        dtype=np.float64,
-    )
+    # jac_backend="jax" explicitly: "auto" keys off the PROCESS default
+    # backend (tpu), but this solve runs on the cpu device where the
+    # compiled Pallas kernel cannot lower.
+    cfg_cpu = dataclasses.replace(cfg, jac_backend="jax")
     with jax.default_device(cpu):
-        p64 = jax.device_put(sc64.problem, cpu)
-        solved64, st64 = solve(p64, cfg)
-    cost64 = float(np.asarray(st64.costs)[-1])
-    rel = abs(cost32 - cost64) / cost64
+        p_cpu = jax.device_put(sc32.problem, cpu)
+        solved_cpu, st_cpu = solve(p_cpu, cfg_cpu)
+    cost_cpu = float(np.asarray(st_cpu.costs)[-1])
+    rel = abs(cost32 - cost_cpu) / cost_cpu
     acc32 = int(np.asarray(st32.accepted).sum())
-    acc64 = int(np.asarray(st64.accepted).sum())
-    print(f"  robust-BA final cost: tpu-f32 {cost32:.8g} cpu-f64 {cost64:.8g}"
-          f" rel {rel:.2e} (accepted {acc32}/{acc64})")
+    acc_cpu = int(np.asarray(st_cpu.accepted).sum())
+    print(f"  robust-BA final cost: tpu-f32 {cost32:.8g} cpu-f32 "
+          f"{cost_cpu:.8g} rel {rel:.2e} (accepted {acc32}/{acc_cpu})")
     assert rel < 5e-3
 
 
