@@ -1,0 +1,121 @@
+"""Per-stage timing of the BAL-scale PCG path on the real chip.
+
+Times each stage of one LM iteration at a configurable scale so the
+slow stage at Venice scale (VENICE_r02.json: 5.68 s/iter) can be
+identified and attacked.  Not part of the driver contract; a working
+tool kept in-tree so round N+1 can re-run it.
+
+Run:  python bench/profile_scale.py [--cams 856] [--points 250000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
+
+def timeit(fn, *args, n=3, **kw):
+    import jax
+
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3, out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import pcg, scale
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=856)
+    ap.add_argument("--points", type=int, default=250_000)
+    ap.add_argument("--mean-track", type=float, default=5.0)
+    ap.add_argument("--max-track", type=int, default=12)
+    ap.add_argument("--obs-chunk", type=int, default=1 << 19)
+    ap.add_argument("--cg-iters", type=int, default=50)
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    sc = synthetic.make_bal_scene(
+        args.cams, args.points, mean_track=args.mean_track,
+        max_track=args.max_track, noise_px=0.5, robust="huber",
+        robust_scale=2.0, seed=4, dtype=np.float32, with_truth=False,
+    )
+    p = sc.problem
+    print(f"# scene C={p.n_cameras} P={p.n_points} M={p.n_obs} "
+          f"K={p.pt_obs.shape[1]} Kc={p.cam_obs.shape[1]} "
+          f"({time.perf_counter()-t0:.1f}s)", flush=True)
+
+    lam = jnp.asarray(1e-4, p.X.dtype)
+
+    ms, _ = timeit(scale.cost_scale, p, args.obs_chunk)
+    print(f"cost_scale            {ms:9.2f} ms")
+
+    ms, eqs = timeit(
+        scale.build_normal_equations_scale, p, args.obs_chunk
+    )
+    print(f"build_NE_scale        {ms:9.2f} ms")
+
+    build_sys = jax.jit(
+        lambda e, l: pcg.build_pcg_system(
+            e, l, p.obs_cam, p.obs_pt,
+            pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+            cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
+        )
+    )
+    ms, sys_ = timeit(build_sys, eqs, lam)
+    print(f"build_pcg_system      {ms:9.2f} ms")
+
+    mv = jax.jit(lambda s, x: pcg.schur_matvec(s, x))
+    x0 = jnp.ones_like(sys_.rhs)
+    ms, _ = timeit(mv, sys_, x0)
+    print(f"schur_matvec (x1)     {ms:9.2f} ms")
+
+    cg = jax.jit(
+        lambda s: pcg.pcg_solve(s, tol=0.0, max_iters=args.cg_iters)
+    )
+    ms, _ = timeit(cg, sys_)
+    print(f"pcg_solve (x{args.cg_iters})      {ms:9.2f} ms")
+
+    bs = jax.jit(pcg.back_substitute)
+    dc = jnp.zeros_like(sys_.rhs)
+    ms, _ = timeit(bs, sys_, dc)
+    print(f"back_substitute       {ms:9.2f} ms")
+
+    # Full LM iteration for cross-check.
+    from pysfm_tpu.solver import LMConfig
+    from pysfm_tpu.solver.lm import solve
+
+    cfg = LMConfig(
+        max_iters=3, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=args.cg_iters, cg_tol=1e-4,
+        obs_chunk=args.obs_chunk,
+    )
+    out = solve(p, cfg)
+    jax.block_until_ready(out[0].X)
+    t0 = time.perf_counter()
+    out = solve(p, cfg)
+    jax.block_until_ready(out[0].X)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"full LM iter          {ms:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
