@@ -6,10 +6,11 @@ sample collapses (SURVEY §3.3 "RANSAC'd PnP").
 
 TPU-native design: the Grunert system is reduced to a single quartic whose
 coefficients are built by static polynomial arithmetic, and the quartic is
-solved in closed form (Ferrari) with complex64/128 elementwise ops — no
-``eigvals`` (unsupported on TPU), no iteration, fully ``vmap``-able across
-RANSAC hypotheses.  Each sample yields up to 4 candidate poses; invalid
-candidates come back as NaN and are discarded by scoring.
+solved in closed form (Ferrari) with REAL elementwise ops only — no
+``eigvals`` and no complex transcendentals (both unsupported on the TPU
+backend), branch-free, fully ``vmap``-able across RANSAC hypotheses.  Each
+sample yields up to 4 candidate poses; invalid candidates come back as NaN
+and are discarded by scoring.
 """
 
 from __future__ import annotations
@@ -22,65 +23,64 @@ import jax.numpy as jnp
 from pysfm_tpu.utils import precision as xp
 
 
-def solve_quartic(coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form (Ferrari) roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0.
+def solve_quartic(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form (Ferrari) REAL roots of c4 x^4 + ... + c1 x + c0.
 
-    ``coeffs = [c4, c3, c2, c1, c0]`` real; returns 4 complex roots.
-    Degenerate leading coefficients produce NaNs (callers filter).
+    ``coeffs = [c4, c3, c2, c1, c0]`` real; returns ``(roots[4], valid[4])``
+    where invalid slots mark complex-conjugate pairs (their values are
+    meaningless).  Entirely real arithmetic — the TPU backend has no complex
+    transcendentals — with the resolvent cubic split into the real-Cardano
+    (disc >= 0) and trigonometric (disc < 0, three real roots) branches,
+    both evaluated and selected branch-free.  Roots are polished with three
+    Newton steps on the original quartic, which also stabilizes f32.
     """
     c4, c3, c2, c1, c0 = [coeffs[i] for i in range(5)]
-    cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
-    a = (c3 / c4).astype(cdtype)
-    b = (c2 / c4).astype(cdtype)
-    c = (c1 / c4).astype(cdtype)
-    d = (c0 / c4).astype(cdtype)
+    dtype = coeffs.dtype
+    one = jnp.asarray(1.0, dtype)
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype)
+    a = c3 / c4
+    b = c2 / c4
+    c = c1 / c4
+    d = c0 / c4
 
     # Depressed quartic y^4 + p y^2 + q y + r with x = y - a/4.
     p = b - 3.0 * a * a / 8.0
     q = c - a * b / 2.0 + a * a * a / 8.0
     r = d - a * c / 4.0 + a * a * b / 16.0 - 3.0 * a ** 4 / 256.0
 
-    # Resolvent cubic z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0: one root via
-    # Cardano in complex arithmetic.
+    # Resolvent cubic z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; any real root
+    # works (one always exists).  Depress: t^3 + P t + Q with z = t - A/3.
     A = -p
-    B = -4.0 * r
-    C = 4.0 * p * r - q * q
-    # t^3 + P t + Q with z = t - A/3.
-    P = B - A * A / 3.0
-    Q = C - A * B / 3.0 + 2.0 * A ** 3 / 27.0
+    P = -4.0 * r - A * A / 3.0
+    Q = (4.0 * p * r - q * q) - A * (-4.0 * r) / 3.0 + 2.0 * A ** 3 / 27.0
     disc = (Q / 2.0) ** 2 + (P / 3.0) ** 3
-    sq = jnp.sqrt(disc)
 
     def _cbrt(w):
-        # Principal complex cube root, safe at 0.
-        mag = jnp.abs(w)
-        safe = jnp.where(mag == 0, jnp.asarray(1.0, cdtype), w)
-        out = jnp.exp(jnp.log(safe) / 3.0)
-        return jnp.where(mag == 0, jnp.asarray(0.0, cdtype), out)
+        return jnp.sign(w) * jnp.abs(w) ** (one / 3.0)
 
-    u = _cbrt(-Q / 2.0 + sq)
-    # Avoid catastrophic cancellation: v = -P/(3u) unless u ~ 0.
-    u_safe = jnp.where(jnp.abs(u) < 1e-30, jnp.asarray(1.0, cdtype), u)
-    v = jnp.where(
-        jnp.abs(u) < 1e-30, _cbrt(-Q / 2.0 - sq), -P / (3.0 * u_safe)
-    )
-    t1 = u + v
+    # disc >= 0: one real root via real Cardano.
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_card = _cbrt(-Q / 2.0 + sq) + _cbrt(-Q / 2.0 - sq)
+    # disc < 0 (requires P < 0): three real roots; take the largest, which
+    # maximizes m^2 = z - p below and keeps the quadratic split stable.
+    Pn = jnp.minimum(P, -tiny)
+    sP = jnp.sqrt(-Pn / 3.0)
+    cosarg = jnp.clip(3.0 * Q / (2.0 * Pn) * jnp.sqrt(-3.0 / Pn), -1.0, 1.0)
+    t_trig = 2.0 * sP * jnp.cos(jnp.arccos(cosarg) / 3.0)
+    t1 = jnp.where(disc >= 0, t_card, t_trig)
     z = t1 - A / 3.0
 
-    # Factor into two quadratics: y^2 +- m y + (z/2 -+ q/(2m)).
+    # Factor into two quadratics: y^2 -+ m y + (z/2 -+ q/(2m)).
     m2 = z - p
-    m = jnp.sqrt(m2)
-    small_m = jnp.abs(m) < 1e-12
-    m_safe = jnp.where(small_m, jnp.asarray(1.0, cdtype), m)
-    # If m ~ 0 the quartic is biquadratic: y^2 = (-p +- sqrt(p^2 - 4 r))/2.
-    s_bi = jnp.sqrt(p * p - 4.0 * r)
-    alpha_bi = (-p + s_bi) / 2.0
-    beta_bi = (-p - s_bi) / 2.0
-
+    biquad = m2 < tiny
+    m = jnp.sqrt(jnp.maximum(m2, 0.0))
+    m_safe = jnp.where(biquad, one, m)
     alpha = z / 2.0 - q / (2.0 * m_safe)
     beta = z / 2.0 + q / (2.0 * m_safe)
-    d1 = jnp.sqrt(m * m - 4.0 * alpha)
-    d2 = jnp.sqrt(m * m - 4.0 * beta)
+    d1s = m * m - 4.0 * alpha
+    d2s = m * m - 4.0 * beta
+    d1 = jnp.sqrt(jnp.maximum(d1s, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(d2s, 0.0))
     roots_gen = jnp.stack(
         [
             (-m + d1) / 2.0,
@@ -89,16 +89,53 @@ def solve_quartic(coeffs: jnp.ndarray) -> jnp.ndarray:
             (m - d2) / 2.0,
         ]
     )
-    roots_bi = jnp.stack(
+    # Permissive validity: a repeated real root's discriminant can round
+    # slightly negative; admitting a borderline complex pair is harmless
+    # (callers score candidates), dropping a real double root is not.
+    eps = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-4, dtype)
+    tol1 = -eps * (m * m + 4.0 * jnp.abs(alpha) + one)
+    tol2 = -eps * (m * m + 4.0 * jnp.abs(beta) + one)
+    valid_gen = jnp.stack([d1s >= tol1, d1s >= tol1, d2s >= tol2,
+                           d2s >= tol2])
+
+    # If m ~ 0 the quartic is biquadratic: y^2 = (-p +- sqrt(p^2 - 4 r))/2.
+    s_bi2 = p * p - 4.0 * r
+    s_bi = jnp.sqrt(jnp.maximum(s_bi2, 0.0))
+    alpha_bi = (-p + s_bi) / 2.0
+    beta_bi = (-p - s_bi) / 2.0
+    rt_a = jnp.sqrt(jnp.maximum(alpha_bi, 0.0))
+    rt_b = jnp.sqrt(jnp.maximum(beta_bi, 0.0))
+    roots_bi = jnp.stack([rt_a, -rt_a, rt_b, -rt_b])
+    valid_bi = jnp.stack(
         [
-            jnp.sqrt(alpha_bi),
-            -jnp.sqrt(alpha_bi),
-            jnp.sqrt(beta_bi),
-            -jnp.sqrt(beta_bi),
+            (s_bi2 >= 0) & (alpha_bi >= 0),
+            (s_bi2 >= 0) & (alpha_bi >= 0),
+            (s_bi2 >= 0) & (beta_bi >= 0),
+            (s_bi2 >= 0) & (beta_bi >= 0),
         ]
     )
-    y = jnp.where(small_m, roots_bi, roots_gen)
-    return y - (a / 4.0)
+    y = jnp.where(biquad, roots_bi, roots_gen)
+    valid = jnp.where(biquad, valid_bi, valid_gen)
+    x = y - (a / 4.0)
+
+    # Safeguarded Newton polish on the undepressed quartic tightens the
+    # closed-form roots (Ferrari in f32 is fragile).  Near a double root
+    # f and f' are both noise-dominated and the raw step f/f' can be a
+    # huge jump away from an already-correct root, so a step is accepted
+    # only if it reduces |f|.
+    def _poly(t):
+        return (((c4 * t + c3) * t + c2) * t + c1) * t + c0
+
+    f = _poly(x)
+    for _ in range(3):
+        fp = ((4.0 * c4 * x + 3.0 * c3) * x + 2.0 * c2) * x + c1
+        fp = jnp.where(jnp.abs(fp) < tiny, tiny, fp)
+        x_new = x - f / fp
+        f_new = _poly(x_new)
+        better = jnp.abs(f_new) < jnp.abs(f)
+        x = jnp.where(better, x_new, x)
+        f = jnp.where(better, f_new, f)
+    return x, valid
 
 
 def _poly_mul(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -148,10 +185,9 @@ def p3p(
     quartic = quartic.at[:4].add(-2.0 * cg * ND)
     quartic = quartic.at[:3].add(DD)
     # solve_quartic expects high-to-low.
-    roots = solve_quartic(quartic[::-1])
+    roots, real = solve_quartic(quartic[::-1])
 
-    real = jnp.abs(roots.imag) < 1e-6 * (jnp.abs(roots.real) + 1.0)
-    v = roots.real.astype(dtype)
+    v = roots.astype(dtype)
     valid = jnp.logical_and(real, v > 1e-6)
 
     def pose_from_v(vk, ok):
