@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pysfm_tpu.frontend import epipolar, features, match, pnp, ransac, triangulate
+from pysfm_tpu.frontend import (
+    epipolar, features, match, p3p, pnp, ransac, triangulate,
+)
 from pysfm_tpu.geometry import projection, so3
 from pysfm_tpu.pipeline import synthetic
 
@@ -160,6 +162,84 @@ class TestPnP:
         assert not np.any(np.asarray(inl)[out_idx])
         np.testing.assert_allclose(np.asarray(R_est), np.asarray(R), atol=5e-3)
         np.testing.assert_allclose(np.asarray(t_est), np.asarray(t), atol=5e-2)
+
+
+class TestP3P:
+    def _random_quartics(self, rng, n):
+        """Quartics covering all real-root structures (4/2/0 real roots,
+        repeated roots), random leading scale."""
+        cs = []
+        for i in range(n):
+            kind = i % 4
+            if kind == 0:
+                c = np.poly(rng.normal(size=4) * 3)
+            elif kind == 1:
+                z = rng.normal() + 1j * abs(rng.normal())
+                c = np.real(np.poly(
+                    [rng.normal() * 3, rng.normal() * 3, z, np.conj(z)]
+                ))
+            elif kind == 2:
+                z1 = rng.normal() + 1j * abs(rng.normal())
+                z2 = rng.normal() + 1j * abs(rng.normal())
+                c = np.real(np.poly([z1, np.conj(z1), z2, np.conj(z2)]))
+            else:  # repeated real root
+                r0 = rng.normal() * 3
+                c = np.poly([r0, r0, rng.normal() * 3, rng.normal() * 3])
+            cs.append(c * (rng.normal() + 0.1))
+        return np.stack(cs)
+
+    def test_quartic_real_roots(self, rng):
+        """Every real root of a random quartic is recovered by a valid slot
+        (cross-checked against numpy.roots); real-arithmetic path only."""
+        C = self._random_quartics(rng, 400)
+        roots, valid = jax.jit(jax.vmap(p3p.solve_quartic))(jnp.asarray(C))
+        roots, valid = np.asarray(roots), np.asarray(valid)
+        missed = 0
+        for i in range(C.shape[0]):
+            true = np.roots(C[i])
+            true_real = true[np.abs(true.imag) < 1e-9].real
+            mine = roots[i][valid[i]]
+            for tr in true_real:
+                err = np.min(np.abs(mine - tr)) if mine.size else np.inf
+                if err / (1.0 + abs(tr)) > 1e-6:
+                    missed += 1
+        # Repeated-root discriminants can round to a miss; everything else
+        # must be exact to 1e-6 relative.
+        assert missed <= 1, missed
+
+    def test_p3p_exact(self, rng):
+        X = jnp.asarray(rng.uniform(-2, 2, size=(3, 3)) + np.array([0, 0, 6.0]))
+        R = so3.exp(jnp.asarray(rng.normal(size=3) * 0.4))
+        t = jnp.asarray([0.3, -0.2, 8.0])
+        p = X @ R.T + t
+        pn = p[:, :2] / p[:, 2:]
+        Rs, ts = p3p.p3p(X, pn)
+        errs = [
+            float(jnp.linalg.norm(Rs[k] - R) + jnp.linalg.norm(ts[k] - t))
+            for k in range(4)
+            if bool(jnp.all(jnp.isfinite(Rs[k])))
+        ]
+        assert errs and min(errs) < 1e-6, errs
+
+    def test_p3p_ransac_outliers(self, rng):
+        X = np.asarray(rng.uniform(-2, 2, (100, 3)))
+        X[:, 2] += 6.0
+        R = so3.exp(jnp.asarray([0.2, -0.1, 0.3]))
+        t = jnp.asarray([0.1, 0.2, 0.5])
+        pc = np.asarray(X @ np.asarray(R).T + np.asarray(t))
+        pn = pc[:, :2] / pc[:, 2:3]
+        out = rng.random(100) < 0.5
+        pn[out] += rng.normal(0, 0.3, (int(out.sum()), 2))
+        R_est, t_est, inl = p3p.p3p_ransac(
+            jax.random.PRNGKey(1), jnp.asarray(X), jnp.asarray(pn),
+            threshold=1e-8,
+        )
+        rot_err = float(jnp.linalg.norm(so3.log(R_est @ R.T)))
+        assert rot_err < 1e-3
+        np.testing.assert_allclose(np.asarray(t_est), np.asarray(t), atol=1e-3)
+        inl = np.asarray(inl)
+        assert not np.any(inl[out])
+        assert inl.sum() >= int((~out).sum()) - 2
 
 
 class TestFeatures:
