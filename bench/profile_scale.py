@@ -57,26 +57,27 @@ def main():
         args.cams, args.points, mean_track=args.mean_track,
         max_track=args.max_track, noise_px=0.5, robust="huber",
         robust_scale=2.0, seed=4, dtype=np.float32, with_truth=False,
+        layout="cm",
     )
     p = sc.problem
     print(f"# scene C={p.n_cameras} P={p.n_points} M={p.n_obs} "
-          f"K={p.pt_obs.shape[1]} Kc={p.cam_obs.shape[1]} "
+          f"K={p.pt_obsT.shape[0]} Kc={p.cam_obs.shape[1]} "
           f"({time.perf_counter()-t0:.1f}s)", flush=True)
 
-    lam = jnp.asarray(1e-4, p.X.dtype)
+    lam = jnp.asarray(1e-4, p.dtype)
 
-    ms, _ = timeit(scale.cost_scale, p, args.obs_chunk)
+    ms, _ = timeit(scale.cost_scale_cm, p, args.obs_chunk)
     print(f"cost_scale            {ms:9.2f} ms")
 
     ms, eqs = timeit(
-        scale.build_normal_equations_scale, p, args.obs_chunk
+        scale.build_normal_equations_scale_cm, p, args.obs_chunk
     )
     print(f"build_NE_scale        {ms:9.2f} ms")
 
     build_sys = jax.jit(
         lambda e, l: pcg.build_pcg_system(
             e, l, p.obs_cam, p.obs_pt,
-            pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+            pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
             cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
         )
     )
@@ -109,10 +110,10 @@ def main():
         obs_chunk=args.obs_chunk,
     )
     out = solve(p, cfg)
-    jax.block_until_ready(out[0].X)
+    jax.block_until_ready(out[0].X3)
     t0 = time.perf_counter()
     out = solve(p, cfg)
-    jax.block_until_ready(out[0].X)
+    jax.block_until_ready(out[0].X3)
     ms = (time.perf_counter() - t0) / 3 * 1e3
     print(f"full LM iter          {ms:9.2f} ms")
 

@@ -155,7 +155,7 @@ def main():
     # --- Stage 4: PCG matvec ------------------------------------------------
     sysm = jax.jit(lambda eqs, lam: pcg.build_pcg_system(
         eqs, lam, p.obs_cam, p.obs_pt,
-        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        pt_obsT=p.pt_obs.T, pt_obs_maskT=p.pt_obs_mask.T,
         cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask))(eqs, lam)
     x = jnp.ones((CP, C), jnp.float32)
     mv = jax.jit(lambda s, x: pcg.schur_matvec(s, x))
@@ -185,7 +185,7 @@ def main():
 
     sys_b = jax.jit(lambda e, lam: pcg.build_pcg_system(
         e, lam, p.obs_cam, p.obs_pt,
-        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        pt_obsT=p.pt_obs.T, pt_obs_maskT=p.pt_obs_mask.T,
         cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask))
     # Gathers Bp/Bg (2 x 3CP*M), block-jacobi D (C*Kc*(3CP+CP^2)), inverses.
     bytes_ps = (M * 3 * CP * 4 + C * Kc * (3 * CP + 3) + C * CP * CP * 3) * f4

@@ -55,12 +55,12 @@ def main():
         args.cams, args.points, mean_track=args.mean_track,
         max_track=args.max_track, noise_px=args.noise_px,
         robust="huber", robust_scale=2.0, seed=4, dtype=np.float32,
-        with_truth=False,
+        with_truth=False, layout="cm",
     )
     p = sc.problem
     t_build = time.perf_counter() - t0
     print(f"# scene: C={p.n_cameras} P={p.n_points} M={p.n_obs} "
-          f"K={p.pt_obs.shape[1]} Kc={p.cam_obs.shape[1]} "
+          f"K={p.pt_obsT.shape[0]} Kc={p.cam_obs.shape[1]} "
           f"built in {t_build:.1f}s", flush=True)
 
     cfg = LMConfig(
@@ -79,7 +79,7 @@ def main():
 
     t0 = time.perf_counter()
     solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6)
-    sync(solved.X)
+    sync(solved.X3)
     dt = time.perf_counter() - t0
     costs = np.asarray(stats.costs, dtype=np.float64)
     accepted = int(np.asarray(stats.accepted).sum())

@@ -160,7 +160,7 @@ def solve_sharded(
                     eqs, lam, lp.obs_cam, lp.obs_pt,
                     tol=config.cg_tol, max_iters=config.cg_iters,
                     axis_name=AXIS,
-                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                    pt_obsT=lp.pt_obs.T, pt_obs_maskT=lp.pt_obs_mask.T,
                     cam_obs=lp.cam_obs, cam_obs_mask=lp.cam_obs_mask,
                 )
             elif use_cm:
@@ -188,7 +188,7 @@ def solve_sharded(
                 eqs = schur.build_normal_equations(
                     r, J_cam, J_pt, w, lp.obs_cam, lp.obs_pt,
                     lp.n_cameras, lp.n_points,
-                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                    pt_obsT=lp.pt_obs.T, pt_obs_maskT=lp.pt_obs_mask.T,
                 )
                 g_c_glob = jax.lax.psum(eqs.g_c, AXIS)
                 grad_inf = jnp.maximum(
@@ -197,7 +197,7 @@ def solve_sharded(
                 )
                 dc, dp = schur.solve_step_dense(
                     eqs, lam, lp.obs_cam, lp.obs_pt, axis_name=AXIS,
-                    pt_obs=lp.pt_obs, pt_obs_mask=lp.pt_obs_mask,
+                    pt_obsT=lp.pt_obs.T, pt_obs_maskT=lp.pt_obs_mask.T,
                 )
             cand = problem_mod.apply_update(lp, dc, dp)
             new_cost = jax.lax.psum(_cost(cand, config.obs_chunk if config.solver == "pcg" else 0), AXIS)

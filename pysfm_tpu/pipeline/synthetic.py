@@ -67,12 +67,18 @@ def make_bal_scene(
     seed: int = 0,
     dtype=np.float32,
     with_truth: bool = True,
+    layout: str = "std",
 ) -> SyntheticScene:
     """BAL/Venice-scale scene (BASELINE config 4: 1.7k cams, 1M points).
 
     ``with_truth=False`` skips building the ground-truth problem (its
     device tables cost a second multi-hundred-MB host->device transfer at
     Venice scale; benchmarks only need the perturbed problem).
+
+    ``layout="cm"`` emits :class:`~pysfm_tpu.problem.cm.CMProblem` pytrees
+    (component-major — the pcg solver's native layout) instead of
+    :class:`BundleProblem`; at Venice scale this also avoids ever putting
+    the standard layout's padded [M, 2]/[P, 3]/[P, K] buffers on device.
 
     Unlike :func:`make_scene` this never materializes the all-pairs
     visibility grid (1.7k x 1M = 1.7e9 entries): each point draws a track
@@ -171,12 +177,18 @@ def make_bal_scene(
         which = rng.choice(M, size=n_out, replace=False)
         uv[which] += rng.uniform(-outlier_px, outlier_px, size=(n_out, 2))
 
+    if layout not in ("std", "cm"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "cm":
+        from pysfm_tpu.problem.cm import make_cm_problem as _builder
+    else:
+        _builder = make_problem
     common = dict(
         camera_model=camera_model, robust=robust,
         robust_scale=robust_scale, dtype=dtype,
     )
     truth = (
-        make_problem(R, t, intr, X, cam_idx, pt_idx, uv, **common)
+        _builder(R, t, intr, X, cam_idx, pt_idx, uv, **common)
         if with_truth
         else None
     )
@@ -190,7 +202,7 @@ def make_bal_scene(
     R_pert = np.asarray(so3.exp(jnp.asarray(dw))) @ R
     t_pert = t + dt
     X_pert = X + rng.normal(scale=perturb_point, size=X.shape)
-    problem = make_problem(
+    problem = _builder(
         R_pert, t_pert, intr, X_pert, cam_idx, pt_idx, uv, **common
     )
     return SyntheticScene(

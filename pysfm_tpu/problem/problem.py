@@ -76,6 +76,10 @@ class BundleProblem:
     def cam_dof(self) -> int:
         return projection.CAM_DOF[self.camera_model]
 
+    @property
+    def dtype(self):
+        return self.X.dtype
+
 
 def build_point_obs_table(
     obs_pt: np.ndarray,
@@ -114,7 +118,7 @@ def build_point_obs_table(
     return table, mask
 
 
-def make_problem(
+def prepare_problem_arrays(
     R,
     t,
     intr,
@@ -131,9 +135,13 @@ def make_problem(
     max_track: Optional[int] = None,
     max_cam_obs: Optional[int] = None,
     dtype=None,
-) -> BundleProblem:
-    """Host-side builder: sorts observations by point, builds the padded
-    visibility table, and assembles the device pytree."""
+):
+    """Host-side prep shared by the layout-specific builders: validates,
+    sorts observations by point id, and builds the padded visibility
+    tables.  Returns a dict of NumPy arrays (+ ``dtype``) that
+    :func:`make_problem` (standard layout) and
+    :func:`pysfm_tpu.problem.cm.make_cm_problem` (component-major BAL-scale
+    layout) assemble into their device pytrees."""
     projection._check_model(camera_model)
     if robust not in ("gaussian", "huber", "cauchy"):
         raise ValueError(f"unknown robust kernel {robust!r}")
@@ -191,7 +199,27 @@ def make_problem(
     table, mask = build_point_obs_table(obs_pt, P, max_track, select=live)
     cam_table, cam_mask = build_point_obs_table(obs_cam, C, max_cam_obs,
                                                 select=live)
+    return dict(
+        R=R, t=t, intr=intr, X=X,
+        obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv, obs_w=obs_w,
+        pt_obs=table, pt_obs_mask=mask,
+        cam_obs=cam_table, cam_obs_mask=cam_mask,
+        cam_fixed=cam_fixed, robust_scale=robust_scale,
+        camera_model=camera_model, robust=robust, dtype=dtype,
+    )
 
+
+def make_problem(*args, **kwargs) -> BundleProblem:
+    """Host-side builder: sorts observations by point, builds the padded
+    visibility table, and assembles the device pytree."""
+    a = prepare_problem_arrays(*args, **kwargs)
+    (R, t, intr, X, obs_cam, obs_pt, obs_uv, obs_w, table, mask, cam_table,
+     cam_mask, cam_fixed, robust_scale, camera_model, robust, dtype) = (
+        a["R"], a["t"], a["intr"], a["X"], a["obs_cam"], a["obs_pt"],
+        a["obs_uv"], a["obs_w"], a["pt_obs"], a["pt_obs_mask"], a["cam_obs"],
+        a["cam_obs_mask"], a["cam_fixed"], a["robust_scale"],
+        a["camera_model"], a["robust"], a["dtype"],
+    )
     return BundleProblem(
         R=jnp.asarray(R, dtype=dtype),
         t=jnp.asarray(t, dtype=dtype),

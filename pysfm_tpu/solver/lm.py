@@ -60,28 +60,59 @@ def _select(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("config",))
 def solve(
+    prob,
+    config: LMConfig = LMConfig(),
+    lam_init=None,
+    nu_init=None,
+):
+    """Run LM to convergence (or ``config.max_iters``) entirely on device.
+
+    Dispatcher: a :class:`~pysfm_tpu.problem.cm.CMProblem` (or any problem
+    with ``config.solver == "pcg"``) runs the component-major BAL-scale
+    loop (:func:`solve_cm`); everything else runs the standard-layout loop.
+    A BundleProblem input always returns a BundleProblem.
+
+    ``lam_init``/``nu_init`` (runtime scalars, optional) override the
+    damping state so a segmented/checkpointed solve continues exactly
+    where a previous dispatch stopped without recompiling per segment."""
+    from pysfm_tpu.problem import cm
+
+    if isinstance(prob, cm.CMProblem):
+        return solve_cm(prob, config, lam_init, nu_init)
+    if config.solver == "pcg":
+        cmp, stats = solve_cm(
+            _from_problem_jit(prob), config, lam_init, nu_init
+        )
+        return _merge_params_jit(prob, cmp), stats
+    return _solve_std(prob, config, lam_init, nu_init)
+
+
+@jax.jit
+def _from_problem_jit(prob):
+    from pysfm_tpu.problem import cm
+
+    return cm.from_problem(prob)
+
+
+@jax.jit
+def _merge_params_jit(prob, cmp):
+    from pysfm_tpu.problem import cm
+
+    return cm.merge_params(prob, cmp)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _solve_std(
     prob: problem_mod.BundleProblem,
     config: LMConfig = LMConfig(),
     lam_init=None,
     nu_init=None,
 ) -> Tuple[problem_mod.BundleProblem, LMStats]:
-    """Run LM to convergence (or ``config.max_iters``) entirely on device.
-
-    ``lam_init``/``nu_init`` (runtime scalars, optional) override the
-    damping state so a segmented/checkpointed solve continues exactly
-    where a previous dispatch stopped without recompiling per segment."""
+    """Standard-layout LM loop (dense / dense-cm Schur solvers)."""
     dtype = prob.X.dtype
     n_it = config.max_iters
-    if config.solver == "pcg":
-        # Obs-chunked cost: the plain cost's [M, 3, 3] rotation gather
-        # tiles to 20 GB at Venice scale (see scale.cost_scale).
-        from pysfm_tpu.solver import scale as scale_mod
-
-        cost_fn = lambda q: scale_mod.cost_scale(q, config.obs_chunk)  # noqa: E731
-    else:
-        cost_fn = problem_mod.cost
+    cost_fn = problem_mod.cost
     init_cost = cost_fn(prob)
     lam0 = (
         jnp.asarray(config.lam0, dtype)
@@ -130,22 +161,7 @@ def solve(
         from pysfm_tpu.solver.kernels import pallas_proj
 
         p = s.prob
-        if config.solver == "pcg":
-            # BAL-scale path: obs-chunked scatter-free build + matrix-free
-            # PCG in the gathered table domain (solver/scale.py, solver/pcg.py).
-            from pysfm_tpu.solver import pcg, scale
-
-            eqs = scale.build_normal_equations_scale(p, config.obs_chunk)
-            grad_inf = jnp.maximum(
-                jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
-            )
-            dc, dp = pcg.solve_step_pcg(
-                eqs, s.lam, p.obs_cam, p.obs_pt,
-                tol=config.cg_tol, max_iters=config.cg_iters,
-                pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
-                cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
-            )
-        elif use_cm:
+        if use_cm:
             if use_pallas:
                 rt, Jct, Jpt, wt = (
                     pallas_proj.residuals_and_jacobians_pallas_cm(p)
@@ -186,11 +202,7 @@ def solve(
             )
         cand = problem_mod.apply_update(p, dc, dp)
         new_cost = cost_fn(cand)
-        if config.solver == "pcg":
-            from pysfm_tpu.solver import scale
-
-            pred = scale.predicted_reduction_scale(eqs, s.lam, dc, dp)
-        elif use_cm:
+        if use_cm:
             pred = schur_cm.predicted_reduction_cm(eqs, s.lam, dc, dp)
         else:
             pred = schur.predicted_reduction(eqs, s.lam, dc, dp)
@@ -266,6 +278,158 @@ def solve(
     )
 
 
+class _CMState(struct.PyTreeNode):
+    prob: "object"        # pysfm_tpu.problem.cm.CMProblem
+    lam: jnp.ndarray
+    nu: jnp.ndarray
+    cost: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    stats: LMStats
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_cm(
+    cmp,
+    config: LMConfig = LMConfig(),
+    lam_init=None,
+    nu_init=None,
+):
+    """Component-major BAL-scale LM loop (the ``pcg`` solver path).
+
+    Same control flow as :func:`_solve_std` (Nielsen damping, predicated
+    accept/reject, on-device stats), but the problem state, normal-equation
+    build, CG Schur solve and retraction all run in the component-major
+    layout (problem/cm.py, solver/scale.py, solver/pcg.py) — nothing
+    observation- or point-sized ever materializes with a small minor axis.
+    Returns ``(CMProblem, LMStats)``.
+    """
+    from pysfm_tpu.problem import cm
+    from pysfm_tpu.solver import pcg, scale
+
+    dtype = cmp.dtype
+    n_it = config.max_iters
+    cost_fn = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
+    init_cost = cost_fn(cmp)
+    lam0 = (
+        jnp.asarray(config.lam0, dtype)
+        if lam_init is None
+        else jnp.asarray(lam_init, dtype)
+    )
+    nu0 = (
+        jnp.asarray(2.0, dtype)
+        if nu_init is None
+        else jnp.asarray(nu_init, dtype)
+    )
+    stats = LMStats(
+        costs=jnp.full((n_it + 1,), jnp.nan, dtype).at[0].set(init_cost),
+        lams=jnp.full((n_it,), jnp.nan, dtype),
+        accepted=jnp.zeros((n_it,), bool),
+        grad_inf=jnp.full((n_it,), jnp.nan, dtype),
+        step_norms=jnp.full((n_it,), jnp.nan, dtype),
+        n_iters=jnp.asarray(0),
+        lam_next=lam0,
+        nu_next=nu0,
+    )
+    state = _CMState(
+        prob=cmp,
+        lam=lam0,
+        nu=nu0,
+        cost=init_cost,
+        it=jnp.asarray(0),
+        done=jnp.asarray(False),
+        stats=stats,
+    )
+
+    def cond(s: _CMState):
+        return jnp.logical_and(s.it < n_it, jnp.logical_not(s.done))
+
+    def body(s: _CMState) -> _CMState:
+        p = s.prob
+        eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
+        grad_inf = jnp.maximum(
+            jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+        )
+        dc, dp3 = pcg.solve_step_pcg_cm3(
+            eqs, s.lam, p.obs_cam, p.obs_pt,
+            tol=config.cg_tol, max_iters=config.cg_iters,
+            pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
+            cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
+        )
+        cand = cm.apply_update_cm(p, dc, dp3)
+        new_cost = cost_fn(cand)
+        pred = scale.predicted_reduction_scale_cm(eqs, s.lam, dc, dp3)
+        actual = s.cost - new_cost
+        rho = actual / jnp.maximum(pred, jnp.finfo(dtype).tiny)
+
+        ok = jnp.logical_and(jnp.isfinite(new_cost), actual > 0)
+        ok = jnp.logical_and(ok, pred > 0)
+
+        factor = jnp.maximum(
+            jnp.asarray(1.0 / 3.0, dtype), 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        lam_acc = jnp.clip(s.lam * factor, config.lam_min, config.lam_max)
+        lam_rej = jnp.clip(s.lam * s.nu, config.lam_min, config.lam_max)
+        lam_next = jnp.where(ok, lam_acc, lam_rej)
+        nu_next = jnp.where(ok, jnp.asarray(2.0, dtype), s.nu * 2.0)
+
+        new_params = _select(
+            ok,
+            (cand.R, cand.t, cand.intr, cand.X3),
+            (p.R, p.t, p.intr, p.X3),
+        )
+        if config.renormalize_every > 0:
+            renorm = jnp.logical_and(
+                ok,
+                (s.it % config.renormalize_every)
+                == config.renormalize_every - 1,
+            )
+            from pysfm_tpu.geometry import so3
+
+            new_params = (
+                jnp.where(renorm, so3.normalize(new_params[0]), new_params[0]),
+            ) + new_params[1:]
+        prob_next = p.replace(
+            R=new_params[0], t=new_params[1], intr=new_params[2],
+            X3=new_params[3],
+        )
+        cost_next = jnp.where(ok, new_cost, s.cost)
+
+        step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp3 * dp3))
+        converged = grad_inf < config.tol_grad
+        converged = jnp.logical_or(
+            converged,
+            jnp.logical_and(ok, actual < config.tol_cost_rel * s.cost),
+        )
+        converged = jnp.logical_or(converged, step_norm < config.tol_step)
+
+        st = s.stats
+        st = st.replace(
+            costs=st.costs.at[s.it + 1].set(cost_next),
+            lams=st.lams.at[s.it].set(s.lam),
+            accepted=st.accepted.at[s.it].set(ok),
+            grad_inf=st.grad_inf.at[s.it].set(grad_inf),
+            step_norms=st.step_norms.at[s.it].set(step_norm),
+            n_iters=s.it + 1,
+        )
+        return _CMState(
+            prob=prob_next,
+            lam=lam_next,
+            nu=nu_next,
+            cost=cost_next,
+            it=s.it + 1,
+            done=converged,
+            stats=st,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    it_idx = jnp.arange(n_it + 1)
+    costs = jnp.where(it_idx <= final.it, final.stats.costs, final.cost)
+    return final.prob, final.stats.replace(
+        costs=costs, lam_next=final.lam, nu_next=final.nu
+    )
+
+
 def solve_segmented(
     prob: problem_mod.BundleProblem,
     config: LMConfig = LMConfig(),
@@ -291,8 +455,8 @@ def solve_segmented(
     total = config.max_iters
     k = max(1, iters_per_dispatch)
     cfg_seg = dataclasses.replace(config, max_iters=k)
-    lam = jnp.asarray(config.lam0, prob.X.dtype)
-    nu = jnp.asarray(2.0, prob.X.dtype)
+    lam = jnp.asarray(config.lam0, prob.dtype)
+    nu = jnp.asarray(2.0, prob.dtype)
     p = prob
     costs = []
     lams, accepted, grad_inf, step_norms = [], [], [], []

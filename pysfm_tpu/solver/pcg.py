@@ -99,8 +99,8 @@ def build_pcg_system(
     obs_cam: jnp.ndarray,
     obs_pt: jnp.ndarray,
     axis_name: str | None = None,
-    pt_obs: jnp.ndarray | None = None,
-    pt_obs_mask: jnp.ndarray | None = None,
+    pt_obsT: jnp.ndarray | None = None,
+    pt_obs_maskT: jnp.ndarray | None = None,
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
 ) -> PCGSystem:
@@ -121,13 +121,13 @@ def build_pcg_system(
     Hcc_aug = schur.augment_block_diag(Hcc, lam)
     hinv6 = scale_mod.sym6_inv(scale_mod.augment6(eqs.hpp6, lam))
 
-    use_tables = pt_obs is not None and cam_obs is not None
+    use_tables = pt_obsT is not None and cam_obs is not None
     u0 = scale_mod.sym6_mv(hinv6, eqs.g_p)                     # [3, P]
     if use_tables:
-        pmask_t = pt_obs_mask.T.astype(eqs.B_cm.dtype)         # [K, P]
+        pmask_t = pt_obs_maskT.astype(eqs.B_cm.dtype)          # [K, P]
         cmask = cam_obs_mask.astype(eqs.B_cm.dtype)            # [C, Kc]
-        Bp = eqs.B_cm[:, pt_obs.T] * pmask_t                   # [3CP, K, P]
-        camg = obs_cam[pt_obs.T]                               # [K, P]
+        Bp = eqs.B_cm[:, pt_obsT] * pmask_t                    # [3CP, K, P]
+        camg = obs_cam[pt_obsT]                                # [K, P]
         Bg = eqs.B_cm[:, cam_obs] * cmask                      # [3CP, C, Kc]
         ptg = obs_pt[cam_obs]                                  # [C, Kc]
         Bg4 = Bg.reshape(3, cp, C, -1)
@@ -307,17 +307,43 @@ def solve_step_pcg(
     tol: float = 1e-6,
     max_iters: int = 100,
     axis_name: str | None = None,
-    pt_obs: jnp.ndarray | None = None,
-    pt_obs_mask: jnp.ndarray | None = None,
+    pt_obsT: jnp.ndarray | None = None,
+    pt_obs_maskT: jnp.ndarray | None = None,
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`schur.solve_step_dense` at scale.
 
     Returns ``(dc [C, CP], dp [P, 3])`` in the standard layout."""
+    dc, dp3 = solve_step_pcg_cm3(
+        eqs, lam, obs_cam, obs_pt,
+        tol=tol, max_iters=max_iters, axis_name=axis_name,
+        pt_obsT=pt_obsT, pt_obs_maskT=pt_obs_maskT,
+        cam_obs=cam_obs, cam_obs_mask=cam_obs_mask,
+    )
+    return dc, dp3.T
+
+
+def solve_step_pcg_cm3(
+    eqs,
+    lam: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+    *,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    axis_name: str | None = None,
+    pt_obsT: jnp.ndarray | None = None,
+    pt_obs_maskT: jnp.ndarray | None = None,
+    cam_obs: jnp.ndarray | None = None,
+    cam_obs_mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like :func:`solve_step_pcg` but keeps the point step component-major:
+    returns ``(dc [C, CP], dp3 [3, P])`` — the layout the CM LM loop and
+    :func:`pysfm_tpu.problem.cm.apply_update_cm` consume directly."""
     sys = build_pcg_system(
         eqs, lam, obs_cam, obs_pt, axis_name,
-        pt_obs=pt_obs, pt_obs_mask=pt_obs_mask,
+        pt_obsT=pt_obsT, pt_obs_maskT=pt_obs_maskT,
         cam_obs=cam_obs, cam_obs_mask=cam_obs_mask,
     )
     # Materialization fence between the system build and the CG while_loop:
@@ -326,5 +352,5 @@ def solve_step_pcg(
     # solver/scale.py).  Also exactly what we want for memory locality.
     sys = jax.lax.optimization_barrier(sys)
     dc = pcg_solve(sys, tol=tol, max_iters=max_iters, axis_name=axis_name)
-    dp = back_substitute(sys, dc)
-    return dc.T, dp.T
+    dp3 = back_substitute(sys, dc)
+    return dc.T, dp3

@@ -47,10 +47,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pysfm_tpu.geometry import projection
+from pysfm_tpu.problem import cm
 from pysfm_tpu.problem import problem as problem_mod
 from pysfm_tpu.problem import robust as robust_mod
-from pysfm_tpu.utils import precision as xp
 
 # Lower-triangular 3x3 component order used throughout (matches schur_cm).
 TRI3 = ((0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2))
@@ -70,41 +69,46 @@ def _tri_pairs(cp: int):
     return [(d, e) for d in range(cp) for e in range(d + 1)]
 
 
-def _payload_cm(p: problem_mod.BundleProblem, oc, op, uv, w_conf):
-    """Component-major per-observation payload for one chunk.
+def _payload_rows(cmp: cm.CMProblem, ctab, oc, op, u_o, v_o, w_conf):
+    """Component-major per-observation payload for one chunk — every
+    intermediate is an [m] vector (see problem/cm.py's layout rationale).
 
     Returns (B_cm [3*CP, m], cam_rows [Rc, m], pt_rows [9, m]) with
     Rc = CP*(CP+1)/2 + CP (Hcc lower triangle, then g_c)."""
-    Rg = p.R[oc]
-    tg = p.t[oc]
-    ig = p.intr[oc]
-    Xg = p.X[op]
-    uvh, J_cam, J_pt = projection.project_with_jac(
-        p.camera_model, Rg, tg, ig, Xg
-    )
-    r = uvh - uv
-    s = jnp.sum(r * r, axis=-1)
-    w = w_conf * robust_mod.weight(p.robust, s, p.robust_scale)
-    free = jnp.logical_not(p.cam_fixed)[oc]
-    J_cam = J_cam * free[:, None, None].astype(J_cam.dtype)
+    cols = ctab[:, oc]                                       # [Dc, m]
+    Xg = cmp.X3[:, op]                                       # [3, m]
+    u, v, Jc, Jp = cm.project_jac_cm(cmp.camera_model, cols, Xg)
+    r0 = u - u_o
+    r1 = v - v_o
+    s = r0 * r0 + r1 * r1
+    w = w_conf * robust_mod.weight(cmp.robust, s, cmp.robust_scale)
+    cp = len(Jc[0])
 
-    cp = J_cam.shape[2]
-    wJp = J_pt * w[:, None, None]
-    wr = r * w[:, None]
-    # B(d, s) rows, s-major: [3, CP, m] -> [3*CP, m].
-    B_cm = xp.einsum("mic,mip->pcm", J_cam, wJp).reshape(3 * cp, -1)
-
-    hcc = xp.einsum("mic,mid->cdm", J_cam, J_cam * w[:, None, None])
-    gc = xp.einsum("mic,mi->cm", J_cam, wr)                  # [CP, m]
-    tri = _tri_pairs(cp)
-    cam_rows = jnp.concatenate(
-        [jnp.stack([hcc[d, e] for d, e in tri]), gc], axis=0
+    wJp = [[w * Jp[i][k] for k in range(3)] for i in range(2)]
+    wr0 = w * r0
+    wr1 = w * r1
+    # B(d, s) rows, s-major: row s*CP + d = sum_i Jc[i][d] w Jp[i][s].
+    B_cm = jnp.stack(
+        [
+            Jc[0][d] * wJp[0][k] + Jc[1][d] * wJp[1][k]
+            for k in range(3)
+            for d in range(cp)
+        ]
+    )                                                        # [3*CP, m]
+    wJc = [[w * Jc[i][d] for d in range(cp)] for i in range(2)]
+    cam_rows = jnp.stack(
+        [
+            wJc[0][d] * Jc[0][e] + wJc[1][d] * Jc[1][e]
+            for d, e in _tri_pairs(cp)
+        ]
+        + [Jc[0][d] * wr0 + Jc[1][d] * wr1 for d in range(cp)]
     )                                                        # [Rc, m]
-
-    hpp = xp.einsum("mip,miq->pqm", J_pt, wJp)
-    gp = xp.einsum("mip,mi->pm", J_pt, wr)                   # [3, m]
-    pt_rows = jnp.concatenate(
-        [jnp.stack([hpp[d, e] for d, e in TRI3]), gp], axis=0
+    pt_rows = jnp.stack(
+        [
+            Jp[0][d] * wJp[0][e] + Jp[1][d] * wJp[1][e]
+            for d, e in TRI3
+        ]
+        + [Jp[0][k] * wr0 + Jp[1][k] * wr1 for k in range(3)]
     )                                                        # [9, m]
     return B_cm, cam_rows, pt_rows
 
@@ -119,42 +123,46 @@ def _unpack_sym(rows: jnp.ndarray, cp: int) -> jnp.ndarray:
     return out
 
 
+def _chunked(arrs, M, obs_chunk):
+    """Pad flat [M] observation arrays to a chunk multiple and reshape to
+    [n_chunks, m] for ``lax.map``.  Padding slots carry obs_w = 0 (the
+    weight array is padded with zeros), so every payload row is zero."""
+    obs_chunk = min(obs_chunk or (1 << 18), M)
+    n_chunks = -(-M // obs_chunk)
+    pad = n_chunks * obs_chunk - M
+
+    def padded(x):
+        return jnp.pad(x, ((0, pad),)) if pad else x
+
+    return [padded(x).reshape(n_chunks, obs_chunk) for x in arrs], n_chunks
+
+
 @partial(jax.jit, static_argnames=("obs_chunk",))
-def build_normal_equations_scale(
-    p: problem_mod.BundleProblem, obs_chunk: int = 0
+def build_normal_equations_scale_cm(
+    cmp: cm.CMProblem, obs_chunk: int = 0
 ) -> ScaleEqs:
     """Scatter-free component-major normal equations for the PCG path;
     ``obs_chunk`` > 0 bounds the Jacobian working set to one chunk (padded
     to a chunk multiple)."""
-    M = p.n_obs
-    cp = p.cam_dof
+    M = cmp.n_obs
+    cp = cmp.cam_dof
     # The payload ALWAYS runs through the chunked lax.map, even when a
     # single chunk covers the problem: on the axon TPU platform, fusing the
-    # full [M, ...] payload einsums directly with the downstream CG loop
+    # full [M, ...] payload graph directly with the downstream CG loop
     # miscompiles (silently corrupted rhs/M_inv buffers; CPU-verified
     # correct) — the sequential map plus the optimization_barriers between
     # build -> system -> CG keep the program in the shape the compiler
     # handles correctly, and are what we want for memory anyway.
-    obs_chunk = min(obs_chunk or (1 << 18), M)
-    n_chunks = -(-M // obs_chunk)
-    m_pad = n_chunks * obs_chunk
-    pad = m_pad - M
-
-    def padded(x, fill=0):
-        if pad == 0:
-            return x
-        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
-        return jnp.pad(x, widths, constant_values=fill)
-
-    # Padding slots carry obs_w = 0, so every payload row is zero.
-    oc = padded(p.obs_cam).reshape(n_chunks, obs_chunk)
-    op = padded(p.obs_pt).reshape(n_chunks, obs_chunk)
-    uv = padded(p.obs_uv).reshape(n_chunks, obs_chunk, 2)
-    wc = padded(p.obs_w).reshape(n_chunks, obs_chunk)
+    ctab = cm.cam_table(cmp)                                  # [Dc, C]
+    (oc, op, u, v, wc), _ = _chunked(
+        [cmp.obs_cam, cmp.obs_pt, cmp.u, cmp.v, cmp.obs_w], M, obs_chunk
+    )
     B_cm, cam_rows, pt_rows = jax.lax.map(
-        lambda args: _payload_cm(p, *args), (oc, op, uv, wc)
+        lambda args: _payload_rows(cmp, ctab, *args), (oc, op, u, v, wc)
     )
     # [n_chunks, D, m] -> [D, M]: chunk axis folds into the minor axis.
+    m_pad = oc.shape[0] * oc.shape[1]
+
     def unchunk(x):
         return x.transpose(1, 0, 2).reshape(x.shape[1], m_pad)[:, :M]
 
@@ -164,16 +172,16 @@ def build_normal_equations_scale(
 
     # Camera-side reduction through the cam_obs table: gather the rows into
     # the [C, Kc] grid (big axes in the two minor positions) + masked sum.
-    cmask = p.cam_obs_mask.astype(B_cm.dtype)                 # [C, Kc]
-    cred = jnp.sum(cam_rows[:, p.cam_obs] * cmask, axis=-1)   # [Rc, C]
+    cmask = cmp.cam_obs_mask.astype(B_cm.dtype)               # [C, Kc]
+    cred = jnp.sum(cam_rows[:, cmp.cam_obs] * cmask, axis=-1)  # [Rc, C]
     n_tri = cp * (cp + 1) // 2
     Hcc = _unpack_sym(cred[:n_tri], cp)
     g_c = cred[n_tri:].T                                      # [C, CP]
 
-    # Point-side reduction through the pt_obs table, track axis leading so
-    # the point axis stays minor: [9, K, P] -> [9, P].
-    pmask_t = p.pt_obs_mask.T.astype(B_cm.dtype)              # [K, P]
-    pred = jnp.sum(pt_rows[:, p.pt_obs.T] * pmask_t, axis=1)  # [9, P]
+    # Point-side reduction through the (pre-transposed) pt_obs table, track
+    # axis leading so the point axis stays minor: [9, K, P] -> [9, P].
+    pmask_t = cmp.pt_obs_maskT.astype(B_cm.dtype)             # [K, P]
+    pred = jnp.sum(pt_rows[:, cmp.pt_obsT] * pmask_t, axis=1)  # [9, P]
     hpp6 = pred[:6]
     g_p = pred[6:]
     # Materialization fence: keeps XLA from fusing the payload/reduction
@@ -182,6 +190,16 @@ def build_normal_equations_scale(
     return jax.lax.optimization_barrier(
         ScaleEqs(Hcc=Hcc, g_c=g_c, hpp6=hpp6, g_p=g_p, B_cm=B_cm)
     )
+
+
+@partial(jax.jit, static_argnames=("obs_chunk",))
+def build_normal_equations_scale(
+    p: problem_mod.BundleProblem, obs_chunk: int = 0
+) -> ScaleEqs:
+    """Standard-layout entry: converts to the CM layout (one transpose of
+    the point/obs arrays) and delegates to
+    :func:`build_normal_equations_scale_cm`."""
+    return build_normal_equations_scale_cm(cm.from_problem(p), obs_chunk)
 
 
 def sym6_inv(h6: jnp.ndarray) -> jnp.ndarray:
@@ -220,40 +238,37 @@ def augment6(h6: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("obs_chunk",))
+def cost_scale_cm(cmp: cm.CMProblem, obs_chunk: int = 0) -> jnp.ndarray:
+    """Robust cost, obs-chunked, component-major: the per-chunk working set
+    is one [Dc, m] camera-column gather + one [3, m] point gather (the
+    standard layout's ``R[obs_cam] [M, 3, 3]`` gather tiles to 20 GB at
+    Venice scale)."""
+    M = cmp.n_obs
+    ctab = cm.cam_table(cmp)
+    (oc, op, u, v, wc), _ = _chunked(
+        [cmp.obs_cam, cmp.obs_pt, cmp.u, cmp.v, cmp.obs_w], M, obs_chunk
+    )
+
+    def chunk_cost(args):
+        oci, opi, ui, vi, wi = args
+        uh, vh = cm.project_cm(
+            cmp.camera_model, ctab[:, oci], cmp.X3[:, opi]
+        )
+        r0 = uh - ui
+        r1 = vh - vi
+        s = r0 * r0 + r1 * r1
+        return jnp.sum(wi * robust_mod.rho(cmp.robust, s, cmp.robust_scale))
+
+    parts = jax.lax.map(chunk_cost, (oc, op, u, v, wc))
+    return 0.5 * jnp.sum(parts)
+
+
+@partial(jax.jit, static_argnames=("obs_chunk",))
 def cost_scale(
     p: problem_mod.BundleProblem, obs_chunk: int = 0
 ) -> jnp.ndarray:
-    """Robust cost, obs-chunked.  The unchunked
-    :func:`problem.cost` gathers ``R[obs_cam] [M, 3, 3]`` — whose (3, 3)
-    tail tiles to (8, 128), a 20 GB buffer at Venice scale that crashes the
-    worker; here the gather lives one chunk at a time inside ``lax.map``."""
-    M = p.n_obs
-    obs_chunk = min(obs_chunk or (1 << 18), M)
-    n_chunks = -(-M // obs_chunk)
-    pad = n_chunks * obs_chunk - M
-
-    def padded(x):
-        if pad == 0:
-            return x
-        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
-        return jnp.pad(x, widths)
-
-    oc = padded(p.obs_cam).reshape(n_chunks, obs_chunk)
-    op = padded(p.obs_pt).reshape(n_chunks, obs_chunk)
-    uv = padded(p.obs_uv).reshape(n_chunks, obs_chunk, 2)
-    wc = padded(p.obs_w).reshape(n_chunks, obs_chunk)
-
-    def chunk_cost(args):
-        oci, opi, uvi, wi = args
-        uvh = projection.project(
-            p.camera_model, p.R[oci], p.t[oci], p.intr[oci], p.X[opi]
-        )
-        r = uvh - uvi
-        s = jnp.sum(r * r, axis=-1)
-        return jnp.sum(wi * robust_mod.rho(p.robust, s, p.robust_scale))
-
-    parts = jax.lax.map(chunk_cost, (oc, op, uv, wc))
-    return 0.5 * jnp.sum(parts)
+    """Standard-layout entry for :func:`cost_scale_cm`."""
+    return cost_scale_cm(cm.from_problem(p), obs_chunk)
 
 
 def predicted_reduction_scale(
@@ -276,6 +291,33 @@ def predicted_reduction_scale(
     cam_term = jnp.sum((lam * d_cc + fill_c) * dc * dc) - jnp.sum(dc * g_c)
     pt_term = (
         jnp.sum((lam * d_pp + fill_p) * dp * dp) - jnp.sum(dp * eqs.g_p.T)
+    )
+    if axis_name is not None:
+        pt_term = jax.lax.psum(pt_term, axis_name)
+    return 0.5 * (cam_term + pt_term)
+
+
+def predicted_reduction_scale_cm(
+    eqs: ScaleEqs,
+    lam: jnp.ndarray,
+    dc: jnp.ndarray,
+    dp3: jnp.ndarray,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """:func:`predicted_reduction_scale` with the point step kept
+    component-major (``dp3 [3, P]``, no transpose)."""
+    Hcc, g_c = eqs.Hcc, eqs.g_c
+    if axis_name is not None:
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        g_c = jax.lax.psum(g_c, axis_name)
+    d_cc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    d_pp3 = jnp.stack([eqs.hpp6[0], eqs.hpp6[2], eqs.hpp6[5]])     # [3, P]
+    fill_c = jnp.where(d_cc == 0, 1.0, 0.0)
+    fill_p = jnp.where(d_pp3 == 0, 1.0, 0.0)
+    cam_term = jnp.sum((lam * d_cc + fill_c) * dc * dc) - jnp.sum(dc * g_c)
+    pt_term = (
+        jnp.sum((lam * d_pp3 + fill_p) * dp3 * dp3)
+        - jnp.sum(dp3 * eqs.g_p)
     )
     if axis_name is not None:
         pt_term = jax.lax.psum(pt_term, axis_name)

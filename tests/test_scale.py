@@ -71,7 +71,7 @@ def test_pcg_tables_matvec_matches_dense_s(scene):
     sys_d = schur.reduce_dense(ref, lam, p.obs_cam, p.obs_pt)
     sys_t = pcg.build_pcg_system(
         eqs, lam, p.obs_cam, p.obs_pt,
-        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        pt_obsT=p.pt_obs.T, pt_obs_maskT=p.pt_obs_mask.T,
         cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
     )
     assert sys_t.Bp is not None and sys_t.B_cm is None  # table path taken
@@ -97,7 +97,7 @@ def test_pcg_tables_matches_segment_sum_system(scene):
     sys_f = pcg.build_pcg_system(eqs, lam, p.obs_cam, p.obs_pt)
     sys_t = pcg.build_pcg_system(
         eqs, lam, p.obs_cam, p.obs_pt,
-        pt_obs=p.pt_obs, pt_obs_mask=p.pt_obs_mask,
+        pt_obsT=p.pt_obs.T, pt_obs_maskT=p.pt_obs_mask.T,
         cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
     )
     np.testing.assert_allclose(
