@@ -126,15 +126,28 @@ def build_pcg_system(
     if use_tables:
         pmask_t = pt_obs_maskT.astype(eqs.B_cm.dtype)          # [K, P]
         cmask = cam_obs_mask.astype(eqs.B_cm.dtype)            # [C, Kc]
-        Bp = eqs.B_cm[:, pt_obsT] * pmask_t                    # [3CP, K, P]
+        # Fence the table gathers: they feed the rhs/preconditioner reduces
+        # below, and a gather fused (even transitively) into a reduce
+        # scalarizes on TPU.  The materialized tables are the CG-loop
+        # operands anyway.
+        Bp = jax.lax.optimization_barrier(
+            eqs.B_cm[:, pt_obsT]
+        ) * pmask_t                                            # [3CP, K, P]
         camg = obs_cam[pt_obsT]                                # [K, P]
-        Bg = eqs.B_cm[:, cam_obs] * cmask                      # [3CP, C, Kc]
+        Bg = jax.lax.optimization_barrier(
+            eqs.B_cm[:, cam_obs]
+        ) * cmask                                              # [3CP, C, Kc]
         ptg = obs_pt[cam_obs]                                  # [C, Kc]
         Bg4 = Bg.reshape(3, cp, C, -1)
-        # rhs_red[d,c] = sum_{s,k} Bg(d,s)[c,k] * u0[s, ptg[c,k]].
-        rhs_red = xp.einsum("sdck,sck->dc", Bg4, u0[:, ptg])
+        # rhs_red[d,c] = sum_{s,k} Bg(d,s)[c,k] * u0[s, ptg[c,k]].  The
+        # gathers are fenced (see _hcpT_x): a gather fused into a reduce
+        # scalarizes on TPU (~100x).
+        u0g = jax.lax.optimization_barrier(u0[:, ptg])         # [3, C, Kc]
+        rhs_red = jnp.sum(Bg4 * u0g[:, None], axis=(0, 3))     # [cp, C]
         # Exact block-Jacobi diag: D_c = Hcc_aug[c] - sum_k Bg Hinv Bg^T.
-        a, b, c_, d_, e, f = hinv6[:, ptg]                     # each [C, Kc]
+        a, b, c_, d_, e, f = jax.lax.optimization_barrier(
+            hinv6[:, ptg]
+        )                                                      # each [C, Kc]
         B0, B1, B2 = Bg4[0], Bg4[1], Bg4[2]                    # [cp, C, Kc]
         BH0 = a * B0 + b * B1 + d_ * B2
         BH1 = b * B0 + c_ * B1 + e * B2
@@ -189,11 +202,17 @@ def build_pcg_system(
 
 
 def _hcpT_x(sys: PCGSystem, x: jnp.ndarray) -> jnp.ndarray:
-    """u = Hcp^T x with x [CP, C] component-major; returns [3, P]."""
+    """u = Hcp^T x with x [CP, C] component-major; returns [3, P].
+
+    The gather is fenced with an optimization_barrier: letting XLA fuse a
+    small-table gather into the big elementwise reduce scalarizes the
+    gather on TPU (measured 11.7 ms -> 0.09 ms at quarter-Venice scale for
+    the identical expression).  Same pattern throughout this module."""
     cp = x.shape[0]
     if sys.Bp is not None:
         Bp4 = sys.Bp.reshape(3, cp, *sys.Bp.shape[1:])         # [3,cp,K,P]
-        return xp.einsum("sdkp,dkp->sp", Bp4, x[:, sys.camg])
+        xg = jax.lax.optimization_barrier(x[:, sys.camg])      # [cp,K,P]
+        return jnp.sum(Bp4 * xg[None], axis=(1, 2))
     B4 = sys.B_cm.reshape(3, cp, -1)
     u_m = xp.einsum("sdm,dm->sm", B4, x[:, sys.obs_cam])       # [3, M]
     return jax.ops.segment_sum(
@@ -206,7 +225,8 @@ def _hcp_w(sys: PCGSystem, w: jnp.ndarray, C: int) -> jnp.ndarray:
     if sys.Bg is not None:
         cp = sys.Bg.shape[0] // 3
         Bg4 = sys.Bg.reshape(3, cp, *sys.Bg.shape[1:])         # [3,cp,C,Kc]
-        return xp.einsum("sdck,sck->dc", Bg4, w[:, sys.ptg])
+        wg = jax.lax.optimization_barrier(w[:, sys.ptg])       # [3,C,Kc]
+        return jnp.sum(Bg4 * wg[:, None], axis=(0, 3))
     cp = sys.B_cm.shape[0] // 3
     B4 = sys.B_cm.reshape(3, cp, -1)
     z_m = xp.einsum("sdm,sm->dm", B4, w[:, sys.obs_pt])        # [cp, M]

@@ -172,8 +172,12 @@ def build_normal_equations_scale_cm(
 
     # Camera-side reduction through the cam_obs table: gather the rows into
     # the [C, Kc] grid (big axes in the two minor positions) + masked sum.
+    # Gathers are fenced with optimization_barrier throughout: XLA fusing a
+    # gather into its consuming reduce scalarizes the gather on TPU (~100x
+    # slower; measured in solver/pcg.py's matvec).
     cmask = cmp.cam_obs_mask.astype(B_cm.dtype)               # [C, Kc]
-    cred = jnp.sum(cam_rows[:, cmp.cam_obs] * cmask, axis=-1)  # [Rc, C]
+    cam_g = jax.lax.optimization_barrier(cam_rows[:, cmp.cam_obs])
+    cred = jnp.sum(cam_g * cmask, axis=-1)                    # [Rc, C]
     n_tri = cp * (cp + 1) // 2
     Hcc = _unpack_sym(cred[:n_tri], cp)
     g_c = cred[n_tri:].T                                      # [C, CP]
@@ -181,7 +185,8 @@ def build_normal_equations_scale_cm(
     # Point-side reduction through the (pre-transposed) pt_obs table, track
     # axis leading so the point axis stays minor: [9, K, P] -> [9, P].
     pmask_t = cmp.pt_obs_maskT.astype(B_cm.dtype)             # [K, P]
-    pred = jnp.sum(pt_rows[:, cmp.pt_obsT] * pmask_t, axis=1)  # [9, P]
+    pt_g = jax.lax.optimization_barrier(pt_rows[:, cmp.pt_obsT])
+    pred = jnp.sum(pt_g * pmask_t, axis=1)                    # [9, P]
     hpp6 = pred[:6]
     g_p = pred[6:]
     # Materialization fence: keeps XLA from fusing the payload/reduction
