@@ -21,13 +21,15 @@ if _plat and "cpu" not in _plat.split(","):
 def timeit(fn, *args, n=5):
     import jax
 
+    from pysfm_tpu.utils.timing import sync
+
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = f(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 

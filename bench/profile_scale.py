@@ -25,14 +25,16 @@ if _plat and "cpu" not in _plat.split(","):
 
 
 def timeit(fn, *args, n=3, **kw):
-    import jax
+    # utils.timing.sync, not block_until_ready: the latter is not a real
+    # completion fence through the tunneled axon runtime.
+    from pysfm_tpu.utils.timing import sync
 
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n * 1e3, out
 
 
@@ -109,11 +111,13 @@ def main():
         solver="pcg", cg_iters=args.cg_iters, cg_tol=1e-4,
         obs_chunk=args.obs_chunk,
     )
+    from pysfm_tpu.utils.timing import sync
+
     out = solve(p, cfg)
-    jax.block_until_ready(out[0].X3)
+    sync(out[0].X3)
     t0 = time.perf_counter()
     out = solve(p, cfg)
-    jax.block_until_ready(out[0].X3)
+    sync(out[0].X3)
     ms = (time.perf_counter() - t0) / 3 * 1e3
     print(f"full LM iter          {ms:9.2f} ms")
 

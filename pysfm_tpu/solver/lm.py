@@ -286,6 +286,7 @@ class _CMState(struct.PyTreeNode):
     it: jnp.ndarray
     done: jnp.ndarray
     stats: LMStats
+    dc_prev: jnp.ndarray  # [C, CP] last camera step (CG warm start)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -339,6 +340,7 @@ def solve_cm(
         it=jnp.asarray(0),
         done=jnp.asarray(False),
         stats=stats,
+        dc_prev=jnp.zeros((cmp.n_cameras, cmp.cam_dof), dtype),
     )
 
     def cond(s: _CMState):
@@ -355,6 +357,7 @@ def solve_cm(
             tol=config.cg_tol, max_iters=config.cg_iters,
             pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
             cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
+            dc_warm=s.dc_prev if config.cg_warm_start else None,
         )
         cand = cm.apply_update_cm(p, dc, dp3)
         new_cost = cost_fn(cand)
@@ -420,6 +423,7 @@ def solve_cm(
             it=s.it + 1,
             done=converged,
             stats=st,
+            dc_prev=dc,
         )
 
     final = jax.lax.while_loop(cond, body, state)

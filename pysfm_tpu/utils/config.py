@@ -49,3 +49,9 @@ class LMConfig:
     # (component-major [D, M] rows — the TPU fast path, see
     # solver/schur_cm.py), or "auto" (cm for the dense solver, std for pcg).
     layout: str = "auto"
+    # Warm-start CG with the previous LM iteration's camera step (pcg
+    # solver only).  The reduced system changes between iterations only
+    # through relinearization and the damping, so the previous step is an
+    # excellent initial guess; with cg_tol-based early exit this removes a
+    # large fraction of the S-matvecs.
+    cg_warm_start: bool = True
