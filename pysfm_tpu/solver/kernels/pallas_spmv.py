@@ -1,0 +1,318 @@
+"""Pallas S-matvec kernels over the grouped observation layout.
+
+The PCG reduced-camera solve is gather-bound on TPU: XLA lowers the two
+index translations of every CG iteration (camera vector -> per-slot,
+point vector -> per-slot) to ~0.4 G-index/s gathers, 10-50x off memory
+speed at BAL scale (measured v5e, round 3).  Mosaic's fast indexed
+primitive, ``tpu.dynamic_gather`` (= ``jnp.take_along_axis`` on a single
+(8, 128) register), is vreg-local — so the problem layout
+(:mod:`pysfm_tpu.problem.grouped`) re-sorts observations by
+``(camera_group_128, point_chunk_2048, point)`` and these kernels run the
+whole matvec with only vreg-local gathers and MXU one-hot contractions:
+
+- ``hcpT_x_grouped`` (K_A): per block, the camera-vector fill is ONE
+  lane-gather per component row (all cameras of a block share one
+  128-camera group); the per-point sums are a segmented scan along the
+  tile (points are sorted) whose run ends are routed to their chunk slot
+  by a static rank-expansion; output is per-group partials with
+  chunk-aligned windows (scalar-prefetched BlockSpec index maps).
+- ``hcp_w_grouped`` (K_B): the point-vector fill gathers from the block's
+  16-vreg chunk window; the camera-side reduction is a one-hot [128-cam]
+  MXU contraction accumulated per group (output revisiting).
+
+Everything data-dependent is a static host-precomputed table; the kernels
+contain no data-dependent control flow.  SURVEY §2 "Pallas kernels
+(native tier)": this is the Schur-path reduction kernel the BAL-scale
+configs require.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pysfm_tpu.problem.grouped import BLK, CGRP, PCH
+
+NSL = PCH // CGRP     # chunk slices (16)
+SUB = BLK // CGRP     # sublanes per block tile (8)
+
+
+@struct.dataclass
+class GroupedOps:
+    """Device-side grouped layout (static per problem) + per-LM-iteration
+    coupling rows.  ``b_rows`` is [3*CP, NB, 8, 128] — the copy-B-ordered
+    per-observation B blocks (zero at padding slots); everything else
+    comes from :func:`pysfm_tpu.problem.grouped.build_grouped`."""
+
+    b_rows: jnp.ndarray       # [3*CP, NB, SUB, CGRP] f32
+    lcam: jnp.ndarray         # [NB, SUB, CGRP] i32
+    lpt: jnp.ndarray          # [NB, SUB, CGRP] i32
+    seg_start: jnp.ndarray    # [NB, SUB, CGRP] f32
+    seg_end_pos: jnp.ndarray  # [NB, NSL, CGRP] i32
+    block_group: jnp.ndarray  # [NB] i32
+    block_chunk: jnp.ndarray  # [NB] i32
+    cell_first: jnp.ndarray   # [NB] i32
+    group_first: jnp.ndarray  # [NB] i32
+    cell_mask: jnp.ndarray    # [G, NCH] f32
+    group_mask: jnp.ndarray   # [G] f32
+    order: jnp.ndarray        # [NB*BLK] i32 (into the point-sorted obs)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.lcam.shape[0]
+
+    @property
+    def n_groups(self) -> int:
+        return self.cell_mask.shape[0]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.cell_mask.shape[1]
+
+
+def device_grouped(meta, b_rows: jnp.ndarray) -> GroupedOps:
+    """Put a host :class:`GroupedMeta` on device (b_rows supplied
+    separately — it is per-LM-iteration data)."""
+    NB = meta.block_group.shape[0]
+    return GroupedOps(
+        b_rows=b_rows,
+        lcam=jnp.asarray(meta.lcam.reshape(NB, SUB, CGRP)),
+        lpt=jnp.asarray(meta.lpt.reshape(NB, SUB, CGRP)),
+        seg_start=jnp.asarray(meta.seg_start.reshape(NB, SUB, CGRP)),
+        seg_end_pos=jnp.asarray(meta.seg_end_pos),
+        block_group=jnp.asarray(meta.block_group),
+        block_chunk=jnp.asarray(meta.block_chunk),
+        cell_first=jnp.asarray(meta.cell_first),
+        group_first=jnp.asarray(meta.group_first),
+        cell_mask=jnp.asarray(meta.cell_mask),
+        group_mask=jnp.asarray(meta.group_mask),
+        order=jnp.asarray(meta.order),
+    )
+
+
+def _take1(a, idx):
+    """Vreg-local lane gather: a, idx [SUB, CGRP] -> a[r, idx[r, l]]."""
+    return jnp.take_along_axis(a, idx, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# K_A: u_partial[g, s, chunk_window] = per-point sums of B^T x
+# ---------------------------------------------------------------------------
+
+
+def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
+    b = pl.program_id(0)
+    lc = lc_ref[0]                                   # [SUB, CGRP] i32
+    xg = [_take1(x_ref[d], lc) for d in range(cp)]   # cp lane-gathers
+    f0 = ss_ref[0]                                   # [SUB, CGRP] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, CGRP), 1)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+    posm = se_ref[0]                                 # [NSL, CGRP] i32
+
+    @pl.when(cf[b] == 1)
+    def _():
+        o_ref[0] = jnp.zeros((3, PCH), jnp.float32)
+
+    rows = []
+    for s in range(3):
+        q = b_ref[s * cp, 0] * xg[0]
+        for d in range(1, cp):
+            q = q + b_ref[s * cp + d, 0] * xg[d]
+        # Segmented inclusive scan in row-major (serpentine) obs order:
+        # 7 lane steps, then the cross-row carry.
+        # Rolled-in slots beyond the boundary contribute value 0 and flag
+        # 0: rv is value-masked, and a masked-in flag of 1 would corrupt
+        # the windowed-OR F that gates the cross-row carry below.
+        v, F = q, f0
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            rv = jnp.where(lane >= sh, pltpu.roll(v, sh, 1), 0.0)
+            rF = jnp.where(lane >= sh, pltpu.roll(F, sh, 1), 0.0)
+            v = v + rv * (1.0 - F)
+            F = jnp.maximum(F, rF)
+        rowv = v[:, CGRP - 1:CGRP]                   # [SUB, 1]
+        rowF = F[:, CGRP - 1:CGRP]
+        for sh in (1, 2, 4):
+            rv = jnp.where(sub1 >= sh, pltpu.roll(rowv, sh, 0), 0.0)
+            rf = jnp.where(sub1 >= sh, pltpu.roll(rowF, sh, 0), 0.0)
+            rowv = rowv + rv * (1.0 - rowF)
+            rowF = jnp.maximum(rowF, rf)
+        carry = jnp.where(sub1 >= 1, pltpu.roll(rowv, 1, 0), 0.0)
+        v = v + carry * (1.0 - F)
+        # Rank expansion: route each (valid) run-end value to its chunk
+        # slot.  pos encodes the flat in-block position (BLK = none).
+        pieces = []
+        for vv in range(NSL):
+            pos1 = posm[vv:vv + 1]                   # [1, CGRP]
+            pos8 = jnp.broadcast_to(pos1, (SUB, CGRP))
+            lanei = jnp.where(pos8 < BLK, pos8 & (CGRP - 1), 0)
+            subi = jnp.clip(pos8 >> 7, 0, SUB - 1)
+            g1 = _take1(v, lanei)                    # [SUB, CGRP]
+            g2 = jnp.take_along_axis(g1, subi, axis=0)
+            val = jnp.where(pos1 < BLK, g2[0:1], 0.0)   # [1, CGRP]
+            pieces.append(val)
+        rows.append(jnp.concatenate(pieces, axis=1))    # [1, PCH]
+    o_ref[0] = o_ref[0] + jnp.concatenate(rows, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cp", "interpret"))
+def hcpT_x_grouped(
+    ops: GroupedOps,
+    x: jnp.ndarray,
+    n_points_pad: int | None = None,
+    *,
+    cp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """u = Hcp^T x in the grouped layout.
+
+    ``x`` [C, CP] or [CP, C]-transposed handled by caller as [cp, C];
+    returns u [3, NCH*PCH] (caller slices to [3, P])."""
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Cpad = G * CGRP
+    x_p = jnp.zeros((cp, Cpad), x.dtype).at[:, : x.shape[1]].set(x)
+    xrep = jnp.broadcast_to(x_p[:, None, :], (cp, SUB, Cpad))
+    xrep = jax.lax.optimization_barrier(xrep)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((cp, SUB, CGRP), lambda b, bg, bc, cf: (0, 0, bg[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cp, 1, SUB, CGRP),
+                         lambda b, bg, bc, cf: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NSL, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, PCH), lambda b, bg, bc, cf: (bg[b], 0, bc[b]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    upart = pl.pallas_call(
+        partial(_ka_kernel, cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 3, NCH * PCH), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, ops.cell_first,
+        xrep, ops.b_rows, ops.lcam, ops.seg_start, ops.seg_end_pos,
+    )
+    # Kill garbage in never-visited (group, chunk) windows, sum groups.
+    m = ops.cell_mask[:, None, :, None]                    # [G,1,NCH,1]
+    up = upart.reshape(G, 3, NCH, PCH)
+    return jnp.sum(jnp.where(m > 0, up, 0.0), axis=0).reshape(3, NCH * PCH)
+
+
+# ---------------------------------------------------------------------------
+# K_B: y[cp, C] = camera sums of B w
+# ---------------------------------------------------------------------------
+
+
+def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
+    b = pl.program_id(0)
+    lp = lp_ref[0]                                  # [SUB, CGRP] i32
+    lc = lc_ref[0]
+    # Point-vector fill from the 16-vreg chunk window.
+    wg = [jnp.zeros((SUB, CGRP), jnp.float32) for _ in range(3)]
+    for j in range(NSL):
+        loc = lp - j * CGRP
+        inb = jnp.logical_and(loc >= 0, loc < CGRP)
+        locc = jnp.where(inb, loc, 0)
+        for s in range(3):
+            tab = jnp.broadcast_to(
+                w_ref[s:s + 1, j * CGRP:(j + 1) * CGRP], (SUB, CGRP)
+            )
+            g = _take1(tab, locc)
+            wg[s] = wg[s] + jnp.where(inb, g, 0.0)
+    # q2[d] = sum_s B(d, s) wg[s]  (B rows are s-major: row s*cp + d).
+    q2 = []
+    for d in range(cp):
+        acc = b_ref[d, 0] * wg[0]
+        for s in range(1, 3):
+            acc = acc + b_ref[s * cp + d, 0] * wg[s]
+        q2.append(acc)
+    # One-hot camera reduction on the MXU, accumulated transposed:
+    # Y[c, d] += sum_m [lcam[m] == c] q2[d][m], per sublane row.
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (CGRP, CGRP), 0)
+    Y = jnp.zeros((CGRP, cp), jnp.float32)
+    for i in range(SUB):
+        ohT = (ciota == jnp.broadcast_to(lc[i:i + 1], (CGRP, CGRP))
+               ).astype(jnp.float32)                      # [128c, 128m]
+        qi = jnp.concatenate(
+            [q2[d][i:i + 1] for d in range(cp)], axis=0
+        )                                                 # [cp, 128m]
+        Y = Y + jax.lax.dot_general(
+            ohT, qi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(gf[b] == 1)
+    def _():
+        o_ref[:] = Y
+
+    @pl.when(gf[b] == 0)
+    def _():
+        o_ref[:] = o_ref[:] + Y
+
+
+@partial(jax.jit, static_argnames=("cp", "interpret", "n_cameras"))
+def hcp_w_grouped(
+    ops: GroupedOps,
+    w3: jnp.ndarray,
+    n_cameras: int,
+    *,
+    cp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = Hcp w in the grouped layout.  ``w3`` [3, P] (padded internally);
+    returns y [cp, C]."""
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Ppad = NCH * PCH
+    w_p = jnp.zeros((3, Ppad), w3.dtype).at[:, : w3.shape[1]].set(w3)
+    w_p = jax.lax.optimization_barrier(w_p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((3, PCH), lambda b, bg, bc, gf: (0, bc[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cp, 1, SUB, CGRP),
+                         lambda b, bg, bc, gf: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, gf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, gf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CGRP, cp), lambda b, bg, bc, gf: (bg[b], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    ypartT = pl.pallas_call(
+        partial(_kb_kernel, cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * CGRP, cp), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, ops.group_first,
+        w_p, ops.b_rows, ops.lpt, ops.lcam,
+    )
+    gm = jnp.repeat(ops.group_mask, CGRP)[:, None]         # [G*128, 1]
+    y = jnp.where(gm > 0, ypartT, 0.0).T                   # [cp, G*128]
+    return y[:, :n_cameras]

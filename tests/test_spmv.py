@@ -1,0 +1,113 @@
+"""Grouped-layout Pallas S-matvec kernels vs a direct NumPy reference.
+
+Covers pysfm_tpu/problem/grouped.py (static layout build) and
+pysfm_tpu/solver/kernels/pallas_spmv.py (K_A / K_B) in interpret mode on
+CPU; compiled-on-TPU equality lives in tests/test_tpu_hw.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pysfm_tpu.problem import grouped
+from pysfm_tpu.solver.kernels import pallas_spmv
+
+
+def _random_incidence(rng, C, P, mean_track=4, cp=9):
+    """Random BA-like visibility: every point sees >= 2 cameras."""
+    cams, pts = [], []
+    for p in range(P):
+        k = 2 + rng.poisson(mean_track - 2)
+        k = min(k, C)
+        for c in rng.choice(C, size=k, replace=False):
+            cams.append(c)
+            pts.append(p)
+    obs_cam = np.asarray(cams, np.int32)
+    obs_pt = np.asarray(pts, np.int32)
+    # point-sorted, like the CM problem layout
+    o = np.argsort(obs_pt, kind="stable")
+    obs_cam, obs_pt = obs_cam[o], obs_pt[o]
+    M = obs_cam.shape[0]
+    B = rng.standard_normal((3 * cp, M)).astype(np.float32)
+    return obs_cam, obs_pt, B
+
+
+def _make_ops(obs_cam, obs_pt, B, C, P):
+    meta = grouped.build_grouped(obs_cam, obs_pt, C, P)
+    M_B = meta.order.shape[0]
+    NB = M_B // grouped.BLK
+    b_B = np.zeros((B.shape[0], M_B), np.float32)
+    real = meta.order >= 0
+    b_B[:, real] = B[:, meta.order[real]]
+    b_rows = jnp.asarray(
+        b_B.reshape(B.shape[0], NB, grouped.BLK // 128, 128)
+    )
+    return meta, pallas_spmv.device_grouped(meta, b_rows)
+
+
+@pytest.mark.parametrize("C,P", [(5, 40), (300, 700), (130, 3000)])
+def test_hcpT_x_grouped(rng, C, P):
+    cp = 9
+    obs_cam, obs_pt, B = _random_incidence(rng, C, P, cp=cp)
+    meta, ops = _make_ops(obs_cam, obs_pt, B, C, P)
+    x = rng.standard_normal((cp, C)).astype(np.float32)
+
+    # reference: u[s, p] = sum_{m in p} sum_d B[s*cp+d, m] x[d, cam(m)]
+    Bd = B.astype(np.float64)
+    xg = x.astype(np.float64)[:, obs_cam]                 # [cp, M]
+    u_ref = np.zeros((3, P))
+    for s in range(3):
+        q = np.einsum("dm,dm->m", Bd[s * cp:(s + 1) * cp], xg)
+        np.add.at(u_ref[s], obs_pt, q)
+
+    u = pallas_spmv.hcpT_x_grouped(
+        ops, jnp.asarray(x), cp=cp, interpret=True
+    )
+    u = np.asarray(u)[:, :P]
+    np.testing.assert_allclose(u, u_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("C,P", [(5, 40), (300, 700), (130, 3000)])
+def test_hcp_w_grouped(rng, C, P):
+    cp = 9
+    obs_cam, obs_pt, B = _random_incidence(rng, C, P, cp=cp)
+    meta, ops = _make_ops(obs_cam, obs_pt, B, C, P)
+    w3 = rng.standard_normal((3, P)).astype(np.float32)
+
+    # reference: y[d, c] = sum_{m in c} sum_s B[s*cp+d, m] w[s, pt(m)]
+    Bd = B.astype(np.float64)
+    wg = w3.astype(np.float64)[:, obs_pt]                 # [3, M]
+    y_ref = np.zeros((cp, C))
+    for d in range(cp):
+        z = sum(Bd[s * cp + d] * wg[s] for s in range(3))
+        np.add.at(y_ref[d], obs_cam, z)
+
+    y = pallas_spmv.hcp_w_grouped(
+        ops, jnp.asarray(w3), C, cp=cp, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_meta_consistency(rng):
+    C, P = 50, 300
+    obs_cam, obs_pt, _ = _random_incidence(rng, C, P)
+    meta = grouped.build_grouped(obs_cam, obs_pt, C, P)
+    M_B = meta.order.shape[0]
+    assert M_B % grouped.BLK == 0
+    real = meta.order >= 0
+    assert real.sum() == obs_cam.shape[0]
+    # each original obs appears exactly once
+    assert np.array_equal(
+        np.sort(meta.order[real]), np.arange(obs_cam.shape[0])
+    )
+    # local ids reconstruct global ids
+    NB = M_B // grouped.BLK
+    grp = np.repeat(meta.block_group, grouped.BLK)
+    chk = np.repeat(meta.block_chunk, grouped.BLK)
+    cam_g = grp * grouped.CGRP + meta.lcam
+    pt_g = chk.astype(np.int64) * grouped.PCH + meta.lpt
+    np.testing.assert_array_equal(cam_g[real], obs_cam[meta.order[real]])
+    np.testing.assert_array_equal(pt_g[real], obs_pt[meta.order[real]])
+    # every block's cameras share one group, points one chunk
+    assert (meta.lcam >= 0).all() and (meta.lcam < grouped.CGRP).all()
+    assert (meta.lpt >= 0).all() and (meta.lpt < grouped.PCH).all()
