@@ -100,6 +100,21 @@ def _take1(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
+def permute_b_rows(B_cm: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Permute per-LM-iteration coupling rows ``B_cm [3*CP, M]`` (point-
+    sorted order) into the grouped stream: returns [3*CP, NB, SUB, CGRP]
+    with zeros at padding slots.  One XLA gather per LM iteration —
+    amortized over the CG iterations that consume it."""
+    M = B_cm.shape[1]
+    Bp = jnp.concatenate(
+        [B_cm, jnp.zeros((B_cm.shape[0], 1), B_cm.dtype)], axis=1
+    )
+    idx = jnp.where(order < 0, M, order)
+    NB = order.shape[0] // BLK
+    g = jax.lax.optimization_barrier(Bp[:, idx])
+    return g.reshape(B_cm.shape[0], NB, SUB, CGRP)
+
+
 # ---------------------------------------------------------------------------
 # K_A: u_partial[g, s, chunk_window] = per-point sums of B^T x
 # ---------------------------------------------------------------------------
@@ -145,6 +160,9 @@ def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
         v = v + carry * (1.0 - F)
         # Rank expansion: route each (valid) run-end value to its chunk
         # slot.  pos encodes the flat in-block position (BLK = none).
+        # Concatenate full [SUB, 128] tiles (uniform vreg layouts — Mosaic
+        # cannot concatenate row-slices with mismatched sublane offsets)
+        # and collapse the identical rows with one reduce at the end.
         pieces = []
         for vv in range(NSL):
             pos1 = posm[vv:vv + 1]                   # [1, CGRP]
@@ -153,10 +171,16 @@ def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
             subi = jnp.clip(pos8 >> 7, 0, SUB - 1)
             g1 = _take1(v, lanei)                    # [SUB, CGRP]
             g2 = jnp.take_along_axis(g1, subi, axis=0)
-            val = jnp.where(pos1 < BLK, g2[0:1], 0.0)   # [1, CGRP]
-            pieces.append(val)
-        rows.append(jnp.concatenate(pieces, axis=1))    # [1, PCH]
+            pieces.append(jnp.where(pos8 < BLK, g2, 0.0))
+        exp8 = jnp.concatenate(pieces, axis=1)       # [SUB, PCH], rows ==
+        rows.append(jnp.max(exp8, axis=0, keepdims=True))
     o_ref[0] = o_ref[0] + jnp.concatenate(rows, axis=0)
+
+
+def _auto_interpret() -> bool:
+    """Pallas TPU kernels only compile on the TPU backends; everywhere
+    else (host-CPU test meshes) fall back to interpret mode."""
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 @partial(jax.jit, static_argnames=("cp", "interpret"))
@@ -166,12 +190,14 @@ def hcpT_x_grouped(
     n_points_pad: int | None = None,
     *,
     cp: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """u = Hcp^T x in the grouped layout.
 
     ``x`` [C, CP] or [CP, C]-transposed handled by caller as [cp, C];
     returns u [3, NCH*PCH] (caller slices to [3, P])."""
+    if interpret is None:
+        interpret = _auto_interpret()
     G, NCH = ops.n_groups, ops.n_chunks
     NB = ops.n_blocks
     Cpad = G * CGRP
@@ -257,6 +283,7 @@ def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
             ohT, qi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     @pl.when(gf[b] == 1)
@@ -275,10 +302,12 @@ def hcp_w_grouped(
     n_cameras: int,
     *,
     cp: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """y = Hcp w in the grouped layout.  ``w3`` [3, P] (padded internally);
     returns y [cp, C]."""
+    if interpret is None:
+        interpret = _auto_interpret()
     G, NCH = ops.n_groups, ops.n_chunks
     NB = ops.n_blocks
     Ppad = NCH * PCH

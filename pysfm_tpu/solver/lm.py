@@ -65,6 +65,7 @@ def solve(
     config: LMConfig = LMConfig(),
     lam_init=None,
     nu_init=None,
+    gops=None,
 ):
     """Run LM to convergence (or ``config.max_iters``) entirely on device.
 
@@ -75,14 +76,16 @@ def solve(
 
     ``lam_init``/``nu_init`` (runtime scalars, optional) override the
     damping state so a segmented/checkpointed solve continues exactly
-    where a previous dispatch stopped without recompiling per segment."""
+    where a previous dispatch stopped without recompiling per segment.
+    ``gops`` (see :func:`make_grouped_ops`) routes the pcg path's CG
+    matvecs through the grouped Pallas kernels."""
     from pysfm_tpu.problem import cm
 
     if isinstance(prob, cm.CMProblem):
-        return solve_cm(prob, config, lam_init, nu_init)
+        return solve_cm(prob, config, lam_init, nu_init, gops)
     if config.solver == "pcg":
         cmp, stats = solve_cm(
-            _from_problem_jit(prob), config, lam_init, nu_init
+            _from_problem_jit(prob), config, lam_init, nu_init, gops
         )
         return _merge_params_jit(prob, cmp), stats
     return _solve_std(prob, config, lam_init, nu_init)
@@ -289,12 +292,35 @@ class _CMState(struct.PyTreeNode):
     dc_prev: jnp.ndarray  # [C, CP] last camera step (CG warm start)
 
 
+def make_grouped_ops(cmp):
+    """Build the static grouped-layout kernel operands for a CMProblem
+    (host-side, once per problem).  Pass the result to :func:`solve` /
+    :func:`solve_cm` as ``gops`` to run the CG matvecs through the
+    Pallas kernels (TPU f32; ~an order of magnitude faster than the XLA
+    gather path at BAL scale)."""
+    import numpy as np
+
+    from pysfm_tpu.problem import grouped as grouped_mod
+    from pysfm_tpu.solver.kernels import pallas_spmv
+
+    meta = grouped_mod.build_grouped(
+        np.asarray(cmp.obs_cam), np.asarray(cmp.obs_pt),
+        cmp.n_cameras, cmp.n_points,
+    )
+    NB = meta.block_group.shape[0]
+    b0 = jnp.zeros(
+        (3 * cmp.cam_dof, NB, grouped_mod.BLK // 128, 128), cmp.dtype
+    )
+    return pallas_spmv.device_grouped(meta, b0)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_cm(
     cmp,
     config: LMConfig = LMConfig(),
     lam_init=None,
     nu_init=None,
+    gops=None,
 ):
     """Component-major BAL-scale LM loop (the ``pcg`` solver path).
 
@@ -347,10 +373,19 @@ def solve_cm(
         return jnp.logical_and(s.it < n_it, jnp.logical_not(s.done))
 
     def body(s: _CMState) -> _CMState:
+        from pysfm_tpu.solver.kernels import pallas_spmv
+
         p = s.prob
         eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
         grad_inf = jnp.maximum(
             jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+        )
+        gops_it = (
+            gops.replace(
+                b_rows=pallas_spmv.permute_b_rows(eqs.B_cm, gops.order)
+            )
+            if gops is not None
+            else None
         )
         dc, dp3 = pcg.solve_step_pcg_cm3(
             eqs, s.lam, p.obs_cam, p.obs_pt,
@@ -358,6 +393,7 @@ def solve_cm(
             pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
             cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
             dc_warm=s.dc_prev if config.cg_warm_start else None,
+            gops=gops_it,
         )
         cand = cm.apply_update_cm(p, dc, dp3)
         new_cost = cost_fn(cand)

@@ -81,6 +81,10 @@ class PCGSystem(NamedTuple):
     B_cm: Optional[jnp.ndarray]    # [3*CP, M]
     obs_cam: Optional[jnp.ndarray]
     obs_pt: Optional[jnp.ndarray]
+    # Grouped-layout Pallas kernel operands (None -> XLA table matvec).
+    # When set, the CG loop's S-matvecs run the vreg-local-gather kernels
+    # (solver/kernels/pallas_spmv.py) instead of the XLA gathers.
+    gops: Optional[object] = None  # pallas_spmv.GroupedOps
 
 
 def _eqs_to_cm(eqs: schur.NormalEqs) -> scale_mod.ScaleEqs:
@@ -103,6 +107,7 @@ def build_pcg_system(
     pt_obs_maskT: jnp.ndarray | None = None,
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
+    gops=None,
 ) -> PCGSystem:
     """Damp, invert point blocks, build rhs and the block-Jacobi
     preconditioner — everything except S itself.
@@ -198,6 +203,7 @@ def build_pcg_system(
         Hcc_aug=Hcc_aug, hinv6=hinv6, rhs=rhs, g_p=eqs.g_p, M_inv=M_inv,
         Bp=Bp, camg=camg, Bg=Bg, ptg=ptg,
         B_cm=B_keep, obs_cam=oc_keep, obs_pt=op_keep,
+        gops=gops,
     )
 
 
@@ -209,6 +215,11 @@ def _hcpT_x(sys: PCGSystem, x: jnp.ndarray) -> jnp.ndarray:
     gather on TPU (measured 11.7 ms -> 0.09 ms at quarter-Venice scale for
     the identical expression).  Same pattern throughout this module."""
     cp = x.shape[0]
+    if sys.gops is not None:
+        from pysfm_tpu.solver.kernels import pallas_spmv
+
+        u = pallas_spmv.hcpT_x_grouped(sys.gops, x, cp=cp)
+        return u[:, : sys.hinv6.shape[1]]
     if sys.Bp is not None:
         Bp4 = sys.Bp.reshape(3, cp, *sys.Bp.shape[1:])         # [3,cp,K,P]
         xg = jax.lax.optimization_barrier(x[:, sys.camg])      # [cp,K,P]
@@ -222,6 +233,11 @@ def _hcpT_x(sys: PCGSystem, x: jnp.ndarray) -> jnp.ndarray:
 
 def _hcp_w(sys: PCGSystem, w: jnp.ndarray, C: int) -> jnp.ndarray:
     """z = Hcp w with w [3, P]; returns [CP, C] (chip-local partial)."""
+    if sys.gops is not None:
+        from pysfm_tpu.solver.kernels import pallas_spmv
+
+        cp = sys.Hcc_aug.shape[-1]
+        return pallas_spmv.hcp_w_grouped(sys.gops, w, C, cp=cp)
     if sys.Bg is not None:
         cp = sys.Bg.shape[0] // 3
         Bg4 = sys.Bg.reshape(3, cp, *sys.Bg.shape[1:])         # [3,cp,C,Kc]
@@ -367,17 +383,22 @@ def solve_step_pcg_cm3(
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
     dc_warm: jnp.ndarray | None = None,
+    gops=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`solve_step_pcg` but keeps the point step component-major:
     returns ``(dc [C, CP], dp3 [3, P])`` — the layout the CM LM loop and
     :func:`pysfm_tpu.problem.cm.apply_update_cm` consume directly.
 
     ``dc_warm`` ([C, CP], optional) warm-starts CG with the previous LM
-    iteration's camera step."""
+    iteration's camera step; ``gops`` (a
+    :class:`~pysfm_tpu.solver.kernels.pallas_spmv.GroupedOps` with
+    per-iteration ``b_rows``) routes the CG matvecs through the grouped
+    Pallas kernels."""
     sys = build_pcg_system(
         eqs, lam, obs_cam, obs_pt, axis_name,
         pt_obsT=pt_obsT, pt_obs_maskT=pt_obs_maskT,
         cam_obs=cam_obs, cam_obs_mask=cam_obs_mask,
+        gops=gops,
     )
     # Materialization fence between the system build and the CG while_loop:
     # without it the axon TPU compiler fuses the gathered-operand build into

@@ -88,6 +88,35 @@ def test_hcp_w_grouped(rng, C, P):
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_solve_cm_with_grouped_kernels(rng):
+    """Full LM solve: grouped-kernel matvecs == XLA-table matvecs."""
+    import dataclasses
+
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import LMConfig
+    from pysfm_tpu.solver.lm import make_grouped_ops, solve
+
+    sc = synthetic.make_bal_scene(
+        8, 500, mean_track=4.0, max_track=8, noise_px=0.5, seed=3,
+        dtype=np.float32, with_truth=False, layout="cm",
+    )
+    cfg = LMConfig(
+        max_iters=3, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=20, cg_tol=1e-6,
+    )
+    p_ref, st_ref = solve(sc.problem, cfg)
+    gops = make_grouped_ops(sc.problem)
+    p_k, st_k = solve(sc.problem, cfg, gops=gops)
+    c_ref = np.asarray(st_ref.costs)
+    c_k = np.asarray(st_k.costs)
+    np.testing.assert_allclose(c_k, c_ref, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(p_k.X3), np.asarray(p_ref.X3), rtol=2e-2, atol=2e-3
+    )
+
+
 def test_grouped_meta_consistency(rng):
     C, P = 50, 300
     obs_cam, obs_pt, _ = _random_incidence(rng, C, P)
