@@ -61,6 +61,10 @@ class GroupedOps:
     cell_mask: jnp.ndarray    # [G, NCH] f32
     group_mask: jnp.ndarray   # [G] f32
     order: jnp.ndarray        # [NB*BLK] i32 (into the point-sorted obs)
+    # Static per-observation measurements in grouped order (pads: w = 0).
+    gu: jnp.ndarray           # [NB, SUB, CGRP] f32 measured u
+    gv: jnp.ndarray           # [NB, SUB, CGRP] f32 measured v
+    gw: jnp.ndarray           # [NB, SUB, CGRP] f32 confidence weight
 
     @property
     def n_blocks(self) -> int:
@@ -75,10 +79,26 @@ class GroupedOps:
         return self.cell_mask.shape[1]
 
 
-def device_grouped(meta, b_rows: jnp.ndarray) -> GroupedOps:
+def device_grouped(
+    meta, b_rows: jnp.ndarray, u=None, v=None, w=None
+) -> GroupedOps:
     """Put a host :class:`GroupedMeta` on device (b_rows supplied
-    separately — it is per-LM-iteration data)."""
+    separately — it is per-LM-iteration data).  ``u``/``v``/``w`` are the
+    ORIGINAL (point-sorted) per-obs measurement arrays; they are permuted
+    into grouped order here (pads get w = 0)."""
+    import numpy as np
+
     NB = meta.block_group.shape[0]
+
+    def perm(a, fill=0.0):
+        if a is None:
+            return jnp.zeros((NB, SUB, CGRP), jnp.float32)
+        a = np.asarray(a)
+        out = np.full(meta.order.shape, fill, np.float32)
+        real = meta.order >= 0
+        out[real] = a[meta.order[real]]
+        return jnp.asarray(out.reshape(NB, SUB, CGRP))
+
     return GroupedOps(
         b_rows=b_rows,
         lcam=jnp.asarray(meta.lcam.reshape(NB, SUB, CGRP)),
@@ -92,6 +112,9 @@ def device_grouped(meta, b_rows: jnp.ndarray) -> GroupedOps:
         cell_mask=jnp.asarray(meta.cell_mask),
         group_mask=jnp.asarray(meta.group_mask),
         order=jnp.asarray(meta.order),
+        gu=perm(u),
+        gv=perm(v),
+        gw=perm(w),
     )
 
 
@@ -246,22 +269,29 @@ def hcpT_x_grouped(
 # ---------------------------------------------------------------------------
 
 
-def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
-    b = pl.program_id(0)
-    lp = lp_ref[0]                                  # [SUB, CGRP] i32
-    lc = lc_ref[0]
-    # Point-vector fill from the 16-vreg chunk window.
-    wg = [jnp.zeros((SUB, CGRP), jnp.float32) for _ in range(3)]
+def _chunk_fill(w_ref, lp, nrows):
+    """Fill per-obs values from the block's chunk window: w_ref [nrows,
+    PCH] VMEM ref, lp [SUB, CGRP] local point ids -> list of [SUB, CGRP]
+    per-row fills (16-slice vreg-local gathers)."""
+    out = [jnp.zeros((SUB, CGRP), jnp.float32) for _ in range(nrows)]
     for j in range(NSL):
         loc = lp - j * CGRP
         inb = jnp.logical_and(loc >= 0, loc < CGRP)
         locc = jnp.where(inb, loc, 0)
-        for s in range(3):
+        for s in range(nrows):
             tab = jnp.broadcast_to(
                 w_ref[s:s + 1, j * CGRP:(j + 1) * CGRP], (SUB, CGRP)
             )
             g = _take1(tab, locc)
-            wg[s] = wg[s] + jnp.where(inb, g, 0.0)
+            out[s] = out[s] + jnp.where(inb, g, 0.0)
+    return out
+
+
+def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
+    b = pl.program_id(0)
+    lp = lp_ref[0]                                  # [SUB, CGRP] i32
+    lc = lc_ref[0]
+    wg = _chunk_fill(w_ref, lp, 3)
     # q2[d] = sum_s B(d, s) wg[s]  (B rows are s-major: row s*cp + d).
     q2 = []
     for d in range(cp):
@@ -345,3 +375,100 @@ def hcp_w_grouped(
     gm = jnp.repeat(ops.group_mask, CGRP)[:, None]         # [G*128, 1]
     y = jnp.where(gm > 0, ypartT, 0.0).T                   # [cp, G*128]
     return y[:, :n_cameras]
+
+
+# ---------------------------------------------------------------------------
+# K_D: per-LM-iteration coupling rows, built directly in grouped order
+# ---------------------------------------------------------------------------
+
+
+def _kd_kernel(cp, dc_rows, model, robust, bg, bc, rs_ref,
+               ct_ref, x3_ref, lc_ref, lp_ref, u_ref, v_ref, w_ref, o_ref):
+    from pysfm_tpu.problem import cm as cm_mod
+    from pysfm_tpu.problem import robust as robust_mod
+
+    lc = lc_ref[0]
+    lp = lp_ref[0]
+    cols = [_take1(ct_ref[d], lc) for d in range(dc_rows)]
+    Xg = _chunk_fill(x3_ref, lp, 3)
+    u, v, Jc, Jp = cm_mod.project_jac_cm(model, cols, Xg)
+    r0 = u - u_ref[0]
+    r1 = v - v_ref[0]
+    ssum = r0 * r0 + r1 * r1
+    wq = w_ref[0] * robust_mod.weight(robust, ssum, rs_ref[0])
+    for k in range(3):
+        for d in range(cp):
+            o_ref[k * cp + d, 0] = wq * (
+                Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k]
+            )
+
+
+@partial(jax.jit, static_argnames=("cp", "model", "robust", "interpret"))
+def payload_b_grouped(
+    ops: GroupedOps,
+    ctab: jnp.ndarray,
+    X3: jnp.ndarray,
+    robust_scale: jnp.ndarray,
+    *,
+    cp: int,
+    model: str,
+    robust: str,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Build the grouped per-observation coupling rows ``b_rows [3*CP,
+    NB, SUB, CGRP]`` directly on device — replaces the XLA permutation of
+    the point-sorted ``B_cm`` (77 ms/LM-iteration at quarter-Venice
+    scale) with group-local camera-column gathers and chunk-local point
+    fills.  Same math as :func:`pysfm_tpu.solver.scale._payload_rows`'
+    B-row subset; padding slots carry w = 0 and produce zero rows."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Dc = ctab.shape[0]
+    Cpad = G * CGRP
+    ct_p = jnp.zeros((Dc, Cpad), jnp.float32).at[:, : ctab.shape[1]].set(
+        ctab.astype(jnp.float32)
+    )
+    ct_rep = jax.lax.optimization_barrier(
+        jnp.broadcast_to(ct_p[:, None, :], (Dc, SUB, Cpad))
+    )
+    Ppad = NCH * PCH
+    x3_p = jnp.zeros((3, Ppad), jnp.float32).at[:, : X3.shape[1]].set(
+        X3.astype(jnp.float32)
+    )
+    rs = jnp.asarray(robust_scale, jnp.float32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((Dc, SUB, CGRP), lambda b, bg, bc, rs: (0, 0, bg[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PCH), lambda b, bg, bc, rs: (0, bc[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3 * cp, 1, SUB, CGRP), lambda b, bg, bc, rs: (0, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        partial(_kd_kernel, cp, Dc, model, robust),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3 * cp, NB, SUB, CGRP), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, rs,
+        ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv, ops.gw,
+    )

@@ -311,7 +311,9 @@ def make_grouped_ops(cmp):
     b0 = jnp.zeros(
         (3 * cmp.cam_dof, NB, grouped_mod.BLK // 128, 128), cmp.dtype
     )
-    return pallas_spmv.device_grouped(meta, b0)
+    return pallas_spmv.device_grouped(
+        meta, b0, u=cmp.u, v=cmp.v, w=cmp.obs_w
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -380,13 +382,14 @@ def solve_cm(
         grad_inf = jnp.maximum(
             jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
         )
-        gops_it = (
-            gops.replace(
-                b_rows=pallas_spmv.permute_b_rows(eqs.B_cm, gops.order)
+        if gops is not None:
+            b_rows = pallas_spmv.payload_b_grouped(
+                gops, cm.cam_table(p), p.X3, p.robust_scale,
+                cp=p.cam_dof, model=p.camera_model, robust=p.robust,
             )
-            if gops is not None
-            else None
-        )
+            gops_it = gops.replace(b_rows=b_rows)
+        else:
+            gops_it = None
         dc, dp3 = pcg.solve_step_pcg_cm3(
             eqs, s.lam, p.obs_cam, p.obs_pt,
             tol=config.cg_tol, max_iters=config.cg_iters,

@@ -134,21 +134,32 @@ def build_pcg_system(
         # Fence the table gathers: they feed the rhs/preconditioner reduces
         # below, and a gather fused (even transitively) into a reduce
         # scalarizes on TPU.  The materialized tables are the CG-loop
-        # operands anyway.
-        Bp = jax.lax.optimization_barrier(
-            eqs.B_cm[:, pt_obsT]
-        ) * pmask_t                                            # [3CP, K, P]
-        camg = obs_cam[pt_obsT]                                # [K, P]
+        # operands anyway.  With grouped kernel ops the point-major table
+        # (Bp) is dead — matvec and back-substitution run the Pallas
+        # kernels — so only the camera-major table (preconditioner) is
+        # built.
+        if gops is None:
+            Bp = jax.lax.optimization_barrier(
+                eqs.B_cm[:, pt_obsT]
+            ) * pmask_t                                        # [3CP, K, P]
+            camg = obs_cam[pt_obsT]                            # [K, P]
+        else:
+            Bp = camg = None
         Bg = jax.lax.optimization_barrier(
             eqs.B_cm[:, cam_obs]
         ) * cmask                                              # [3CP, C, Kc]
         ptg = obs_pt[cam_obs]                                  # [C, Kc]
         Bg4 = Bg.reshape(3, cp, C, -1)
-        # rhs_red[d,c] = sum_{s,k} Bg(d,s)[c,k] * u0[s, ptg[c,k]].  The
-        # gathers are fenced (see _hcpT_x): a gather fused into a reduce
-        # scalarizes on TPU (~100x).
-        u0g = jax.lax.optimization_barrier(u0[:, ptg])         # [3, C, Kc]
-        rhs_red = jnp.sum(Bg4 * u0g[:, None], axis=(0, 3))     # [cp, C]
+        if gops is not None:
+            from pysfm_tpu.solver.kernels import pallas_spmv
+
+            rhs_red = pallas_spmv.hcp_w_grouped(gops, u0, C, cp=cp)
+        else:
+            # rhs_red[d,c] = sum_{s,k} Bg(d,s)[c,k] * u0[s, ptg[c,k]].
+            # The gathers are fenced (see _hcpT_x): a gather fused into a
+            # reduce scalarizes on TPU (~100x).
+            u0g = jax.lax.optimization_barrier(u0[:, ptg])     # [3, C, Kc]
+            rhs_red = jnp.sum(Bg4 * u0g[:, None], axis=(0, 3))  # [cp, C]
         # Exact block-Jacobi diag: D_c = Hcc_aug[c] - sum_k Bg Hinv Bg^T.
         a, b, c_, d_, e, f = jax.lax.optimization_barrier(
             hinv6[:, ptg]

@@ -117,6 +117,35 @@ def test_solve_cm_with_grouped_kernels(rng):
     )
 
 
+def test_payload_b_grouped_matches_scale_build(rng):
+    """K_D-built coupling rows == the scale.py payload's B rows permuted."""
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.problem import cm
+    from pysfm_tpu.solver import scale
+    from pysfm_tpu.solver.kernels import pallas_spmv
+    from pysfm_tpu.solver.lm import make_grouped_ops
+
+    sc = synthetic.make_bal_scene(
+        6, 400, mean_track=4.0, max_track=8, noise_px=0.5, seed=5,
+        robust="huber", robust_scale=2.0, dtype=np.float32,
+        with_truth=False, layout="cm",
+    )
+    p = sc.problem
+    gops = make_grouped_ops(p)
+    b_k = np.asarray(pallas_spmv.payload_b_grouped(
+        gops, cm.cam_table(p), p.X3, p.robust_scale,
+        cp=p.cam_dof, model=p.camera_model, robust=p.robust,
+        interpret=True,
+    ))
+    eqs = scale.build_normal_equations_scale_cm(p, 0)
+    b_ref = np.asarray(pallas_spmv.permute_b_rows(
+        jnp.asarray(np.asarray(eqs.B_cm)), gops.order
+    ))
+    np.testing.assert_allclose(b_k, b_ref, rtol=2e-4, atol=1e-5)
+
+
 def test_grouped_meta_consistency(rng):
     C, P = 50, 300
     obs_cam, obs_pt, _ = _random_incidence(rng, C, P)
