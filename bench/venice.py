@@ -35,7 +35,7 @@ def main():
     from pysfm_tpu.pipeline import synthetic
     from pysfm_tpu.utils.timing import sync
     from pysfm_tpu.solver import LMConfig
-    from pysfm_tpu.solver.lm import solve_segmented
+    from pysfm_tpu.solver.lm import make_grouped_ops, solve_segmented
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=1712)
@@ -43,8 +43,10 @@ def main():
     ap.add_argument("--mean-track", type=float, default=5.0)
     ap.add_argument("--max-track", type=int, default=12)
     ap.add_argument("--iters", type=int, default=18)
-    ap.add_argument("--cg-iters", type=int, default=50)
-    ap.add_argument("--cg-tol", type=float, default=1e-4)
+    ap.add_argument("--cg-iters", type=int, default=25)
+    ap.add_argument("--cg-tol", type=float, default=1e-2)
+    ap.add_argument("--no-kernels", action="store_true",
+                    help="disable the grouped Pallas matvec kernels")
     ap.add_argument("--obs-chunk", type=int, default=1 << 19)
     ap.add_argument("--noise-px", type=float, default=0.5)
     args = ap.parse_args()
@@ -68,17 +70,23 @@ def main():
         solver="pcg", cg_iters=args.cg_iters, cg_tol=args.cg_tol,
         obs_chunk=args.obs_chunk,
     )
+    gops = None
+    if not args.no_kernels:
+        t0 = time.perf_counter()
+        gops = make_grouped_ops(p)
+        print(f"# grouped layout: NB={gops.n_blocks} "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
     # Segmented dispatch: a single while_loop dispatch that runs for
     # minutes gets the tunneled worker killed (measured: 10x ~4s
     # iterations OK, 15x dies); 6-iteration segments stay well under the
     # limit and cost one ~100ms scalar sync each.
     t0 = time.perf_counter()
-    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6)
+    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6, gops=gops)
     t_first = time.perf_counter() - t0
     print(f"# compile+run: {t_first:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6)
+    solved, stats = solve_segmented(p, cfg, iters_per_dispatch=6, gops=gops)
     sync(solved.X3)
     dt = time.perf_counter() - t0
     costs = np.asarray(stats.costs, dtype=np.float64)
@@ -108,6 +116,8 @@ def main():
         "cost_final": float(costs[-1]),
         "cost_curve": [float(c) for c in costs[:: max(1, args.iters // 10)]],
         "cg_iters": args.cg_iters,
+        "cg_tol": args.cg_tol,
+        "kernels": not args.no_kernels,
         "obs_chunk": args.obs_chunk,
         "scene_build_s": round(t_build, 1),
         "compile_s": round(t_first - dt, 1),

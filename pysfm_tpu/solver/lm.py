@@ -477,6 +477,7 @@ def solve_segmented(
     prob: problem_mod.BundleProblem,
     config: LMConfig = LMConfig(),
     iters_per_dispatch: int = 6,
+    gops=None,
 ) -> Tuple[problem_mod.BundleProblem, LMStats]:
     """Host-driven segmentation of :func:`solve` for VERY long-running
     problems: runs ``config.max_iters`` as segments of
@@ -509,7 +510,7 @@ def solve_segmented(
         cfg_k = cfg_seg if kk == k else dataclasses.replace(
             config, max_iters=kk
         )
-        p, st = solve(p, cfg_k, lam_init=lam, nu_init=nu)
+        p, st = solve(p, cfg_k, lam_init=lam, nu_init=nu, gops=gops)
         n_it = int(st.n_iters)
         seg_costs = np.asarray(st.costs)
         if not costs:
