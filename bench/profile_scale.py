@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--max-track", type=int, default=12)
     ap.add_argument("--obs-chunk", type=int, default=1 << 19)
     ap.add_argument("--cg-iters", type=int, default=50)
+    ap.add_argument("--kernels", action="store_true",
+                    help="also profile the grouped Pallas kernel path")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -102,6 +104,64 @@ def main():
     ms, _ = timeit(bs, sys_, dc)
     print(f"back_substitute       {ms:9.2f} ms")
 
+    if args.kernels:
+        from pysfm_tpu.problem import cm as cm_mod
+        from pysfm_tpu.solver.kernels import pallas_spmv
+        from pysfm_tpu.solver.lm import make_grouped_ops
+
+        t0 = time.perf_counter()
+        gops = make_grouped_ops(p)
+        print(f"# grouped layout NB={gops.n_blocks} "
+              f"({time.perf_counter()-t0:.1f}s)", flush=True)
+
+        kd = jax.jit(
+            lambda g, ct, x3: pallas_spmv.payload_b_grouped(
+                g, ct, x3, p.robust_scale, cp=p.cam_dof,
+                model=p.camera_model, robust=p.robust,
+            )
+        )
+        ctab = jax.jit(cm_mod.cam_table)(p)
+        ms, b_rows = timeit(kd, gops, ctab, p.X3)
+        print(f"K_D payload_b         {ms:9.2f} ms")
+        gops = gops.replace(b_rows=b_rows)
+
+        cp = p.cam_dof
+        xk = jnp.ones((cp, p.n_cameras), p.dtype)
+        ka = jax.jit(
+            lambda g, x: pallas_spmv.hcpT_x_grouped(g, x, cp=cp)
+        )
+        ms, _ = timeit(ka, gops, xk)
+        print(f"K_A hcpT_x            {ms:9.2f} ms")
+
+        w3 = jnp.ones((3, p.n_points), p.dtype)
+        kb = jax.jit(
+            lambda g, w: pallas_spmv.hcp_w_grouped(
+                g, w, p.n_cameras, cp=cp
+            )
+        )
+        ms, _ = timeit(kb, gops, w3)
+        print(f"K_B hcp_w             {ms:9.2f} ms")
+
+        build_sys_k = jax.jit(
+            lambda e, l, g: pcg.build_pcg_system(
+                e, l, p.obs_cam, p.obs_pt,
+                pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
+                cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask, gops=g,
+            )
+        )
+        ms, sys_k = timeit(build_sys_k, eqs, lam, gops)
+        print(f"build_pcg_system (K)  {ms:9.2f} ms")
+
+        mv_k = jax.jit(lambda s, x: pcg.schur_matvec(s, x))
+        ms, _ = timeit(mv_k, sys_k, x0)
+        print(f"schur_matvec (K, x1)  {ms:9.2f} ms")
+
+        cg_k = jax.jit(
+            lambda s: pcg.pcg_solve(s, tol=0.0, max_iters=args.cg_iters)
+        )
+        ms, _ = timeit(cg_k, sys_k)
+        print(f"pcg_solve (K, x{args.cg_iters})   {ms:9.2f} ms")
+
     # Full LM iteration for cross-check.
     from pysfm_tpu.solver import LMConfig
     from pysfm_tpu.solver.lm import solve
@@ -113,10 +173,11 @@ def main():
     )
     from pysfm_tpu.utils.timing import sync
 
-    out = solve(p, cfg)
+    g_full = gops if args.kernels else None
+    out = solve(p, cfg, gops=g_full)
     sync(out[0].X3)
     t0 = time.perf_counter()
-    out = solve(p, cfg)
+    out = solve(p, cfg, gops=g_full)
     sync(out[0].X3)
     ms = (time.perf_counter() - t0) / 3 * 1e3
     print(f"full LM iter          {ms:9.2f} ms")
