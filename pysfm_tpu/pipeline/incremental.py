@@ -36,6 +36,7 @@ Robustness beyond the reference:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -145,26 +146,46 @@ def _max_tri_angle(X_pts, R, t, obs_mask):
     return np.arccos(np.clip(cosang.min(axis=(1, 2)), -1.0, 1.0))  # [P]
 
 
-def _two_view(key, pn1, pn2, w, cfg):
-    """Padded essential-matrix RANSAC + pose selection for one pair.
+@partial(jax.jit, static_argnames=("n_hypotheses", "threshold"))
+def _two_view_batch(keys, pn1s, pn2s, ws, *, n_hypotheses, threshold):
+    """All candidate init pairs in ONE dispatch: vmap of the two-view
+    RANSAC + pose selection + per-point parallax angle over the pair axis.
 
-    Returns (R2, t2, inliers [N] bool over the padded axis, Xtri [N,3]).
+    The sequential per-pair loop cost up to ``init_max_pairs`` device
+    round-trips (each a RANSAC dispatch, with one executable per padding
+    bucket); through a tunneled runtime that latency dominated the whole
+    pipeline.  Inputs are padded to ONE common bucket; returns
+    ``(R2 [B,3,3], t2 [B,3], inliers [B,N], ang [B,N])`` with ``ang`` the
+    triangulation angle each point subtends at the two camera centers.
     """
-    def fit(_, wfit):
-        return epipolar.eight_point(pn1, pn2, w=wfit, essential=True)
+    def one(key, pn1, pn2, w):
+        def fit(_, wfit):
+            return epipolar.eight_point(pn1, pn2, w=wfit, essential=True)
 
-    def score(E):
-        return epipolar.sampson_distance(E, pn1, pn2)
+        def score(E):
+            return epipolar.sampson_distance(E, pn1, pn2)
 
-    res = ransac.ransac(
-        key, pn1.shape[0], fit, score,
-        sample_size=8, n_hypotheses=cfg.ransac_hypotheses,
-        threshold=cfg.epipolar_threshold, data_weights=w,
-    )
-    R2, t2, _, Xtri = epipolar.select_pose(
-        res.model, pn1, pn2, w=res.inliers.astype(pn1.dtype)
-    )
-    return R2, t2, res.inliers, Xtri
+        res = ransac.ransac(
+            key, pn1.shape[0], fit, score,
+            sample_size=8, n_hypotheses=n_hypotheses,
+            threshold=threshold, data_weights=w,
+        )
+        R2, t2, _, Xtri = epipolar.select_pose(
+            res.model, pn1, pn2, w=res.inliers.astype(pn1.dtype)
+        )
+        # Parallax per point: angle between the rays from the two camera
+        # centers C0 = 0 and C1 = -R2^T t2 (same quantity the host-side
+        # _max_tri_angle computes for a 2-view problem).
+        C1 = -R2.T @ t2
+        d1 = Xtri
+        d2 = Xtri - C1[None]
+        n1 = jnp.linalg.norm(d1, axis=-1)
+        n2 = jnp.linalg.norm(d2, axis=-1)
+        cosang = jnp.sum(d1 * d2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+        ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+        return R2, t2, res.inliers, Xtri, ang
+
+    return jax.vmap(one)(keys, pn1s, pn2s, ws)
 
 
 def run_incremental(
@@ -222,38 +243,46 @@ def run_incremental(
     if not cand_pairs:
         raise ValueError("no frame pair shares >= 8 tracks")
 
-    best = None  # (score, i0, i1, idx, inl, R2, t2, Xtri, med_angle)
-    for (i0, i1) in cand_pairs:
-        idx = np.flatnonzero(vis[i0] & vis[i1])
-        n = len(idx)
-        npad = _pad_count(n)
-        pn1 = np.zeros((npad, 2))
-        pn2 = np.zeros((npad, 2))
-        pn1[:n] = pn_all[i0, idx]
-        pn2[:n] = pn_all[i1, idx]
-        w = np.zeros(npad)
-        w[:n] = 1.0
-        key, sub = jax.random.split(key)
-        R2, t2, inl, Xtri = _two_view(
-            sub, jnp.asarray(pn1), jnp.asarray(pn2), jnp.asarray(w), cfg
-        )
-        inl = np.asarray(inl) & (w > 0)
+    # All candidate pairs RANSAC'd + scored in ONE device dispatch (a
+    # sequential per-pair loop costs init_max_pairs round-trips and one
+    # compiled executable per padding bucket).
+    idx_list = [np.flatnonzero(vis[i0] & vis[i1]) for i0, i1 in cand_pairs]
+    npad = _pad_count(max(len(ix) for ix in idx_list))
+    NP = len(cand_pairs)
+    pn1s = np.zeros((NP, npad, 2))
+    pn2s = np.zeros((NP, npad, 2))
+    ws = np.zeros((NP, npad))
+    for k, ((i0, i1), ix) in enumerate(zip(cand_pairs, idx_list)):
+        n = len(ix)
+        pn1s[k, :n] = pn_all[i0, ix]
+        pn2s[k, :n] = pn_all[i1, ix]
+        ws[k, :n] = 1.0
+    key, sub = jax.random.split(key)
+    keys = jax.random.split(sub, NP)
+    R2b, t2b, inlb, Xtrib, angb = _two_view_batch(
+        keys, jnp.asarray(pn1s), jnp.asarray(pn2s), jnp.asarray(ws),
+        n_hypotheses=cfg.ransac_hypotheses,
+        threshold=cfg.epipolar_threshold,
+    )
+    R2b, t2b, Xtrib, angb = map(np.asarray, (R2b, t2b, Xtrib, angb))
+    inlb = np.asarray(inlb) & (ws > 0)
+
+    best = None  # (score, n_inl, i0, i1, idx, inl, R2, t2, Xtri, ang)
+    gate = np.deg2rad(cfg.init_min_parallax_deg)
+    for k, ((i0, i1), idx) in enumerate(zip(cand_pairs, idx_list)):
+        inl = inlb[k]
         n_inl = int(inl.sum())
         if n_inl < 8:
             continue
-        R2n, t2n, Xn = np.asarray(R2), np.asarray(t2), np.asarray(Xtri)
-        Rpair = np.stack([np.eye(3), R2n])
-        tpair = np.stack([np.zeros(3), t2n])
-        ang = _max_tri_angle(
-            Xn[inl], Rpair, tpair, np.ones((2, n_inl), bool)
-        )
-        med = float(np.median(ang))
-        gate = np.deg2rad(cfg.init_min_parallax_deg)
+        med = float(np.median(angb[k][inl]))
         score = n_inl * (1.0 if med >= gate else 0.0)
         stats["init_pairs_tried"].append(
             (i0, i1, n_inl, round(np.rad2deg(med), 2))
         )
-        entry = (score, n_inl, i0, i1, idx, inl, R2n, t2n, Xn, ang)
+        entry = (
+            score, n_inl, i0, i1, idx, inl, R2b[k], t2b[k], Xtrib[k],
+            angb[k][inl],
+        )
         if best is None or (score, n_inl) > (best[0], best[1]):
             best = entry
     if best is None:
