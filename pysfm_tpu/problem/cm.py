@@ -196,8 +196,10 @@ def project_cm(
         r2 = pn0 * pn0 + pn1 * pn1
         rho = 1.0 + r2 * (k1 + r2 * k2)
         return f * rho * pn0, f * rho * pn1
+    # Same operation order as project_jac_cm (fx * (x * inv_z) + cx) so the
+    # two paths agree bitwise, not just to roundoff.
     fx, fy, cx, cy = cols[12], cols[13], cols[14], cols[15]
-    return fx * x * inv_z + cx, fy * y * inv_z + cy
+    return fx * (x * inv_z) + cx, fy * (y * inv_z) + cy
 
 
 def project_jac_cm(

@@ -143,29 +143,22 @@ def permute_b_rows(B_cm: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
-    b = pl.program_id(0)
-    lc = lc_ref[0]                                   # [SUB, CGRP] i32
-    xg = [_take1(x_ref[d], lc) for d in range(cp)]   # cp lane-gathers
-    f0 = ss_ref[0]                                   # [SUB, CGRP] f32
+def _seg_scan_route(qrows, f0, posm):
+    """Per-point segmented sums of per-observation rows, routed to chunk
+    slots: qrows is a list of [SUB, CGRP] values (points sorted within the
+    block, run starts flagged by ``f0``); ``posm`` [NSL, CGRP] holds the
+    flat in-block position (0..BLK-1) of the run end feeding each chunk
+    slot (BLK = none).  Returns [len(qrows), PCH].
+
+    Segmented inclusive scan in row-major (serpentine) obs order: 7 lane
+    steps, then the cross-row carry.  Rolled-in slots beyond the boundary
+    contribute value 0 and flag 0: rv is value-masked, and a masked-in
+    flag of 1 would corrupt the windowed-OR F that gates the cross-row
+    carry."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, CGRP), 1)
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
-    posm = se_ref[0]                                 # [NSL, CGRP] i32
-
-    @pl.when(cf[b] == 1)
-    def _():
-        o_ref[0] = jnp.zeros((3, PCH), jnp.float32)
-
     rows = []
-    for s in range(3):
-        q = b_ref[s * cp, 0] * xg[0]
-        for d in range(1, cp):
-            q = q + b_ref[s * cp + d, 0] * xg[d]
-        # Segmented inclusive scan in row-major (serpentine) obs order:
-        # 7 lane steps, then the cross-row carry.
-        # Rolled-in slots beyond the boundary contribute value 0 and flag
-        # 0: rv is value-masked, and a masked-in flag of 1 would corrupt
-        # the windowed-OR F that gates the cross-row carry below.
+    for q in qrows:
         v, F = q, f0
         for sh in (1, 2, 4, 8, 16, 32, 64):
             rv = jnp.where(lane >= sh, pltpu.roll(v, sh, 1), 0.0)
@@ -197,7 +190,48 @@ def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
             pieces.append(jnp.where(pos8 < BLK, g2, 0.0))
         exp8 = jnp.concatenate(pieces, axis=1)       # [SUB, PCH], rows ==
         rows.append(jnp.max(exp8, axis=0, keepdims=True))
-    o_ref[0] = o_ref[0] + jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(rows, axis=0)             # [len(qrows), PCH]
+
+
+def _onehot_cam_reduce(rows, lc):
+    """Per-camera sums of per-observation rows: rows is a list of [SUB,
+    CGRP] values, ``lc`` the local camera ids; returns [CGRP, len(rows)]
+    via per-sublane one-hot MXU contractions (cameras are NOT sorted
+    within a block, so a scan cannot be used here)."""
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (CGRP, CGRP), 0)
+    n = len(rows)
+    Y = jnp.zeros((CGRP, n), jnp.float32)
+    for i in range(SUB):
+        ohT = (ciota == jnp.broadcast_to(lc[i:i + 1], (CGRP, CGRP))
+               ).astype(jnp.float32)                      # [128c, 128m]
+        qi = jnp.concatenate(
+            [rows[r][i:i + 1] for r in range(n)], axis=0
+        )                                                 # [n, 128m]
+        Y = Y + jax.lax.dot_general(
+            ohT, qi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return Y
+
+
+def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
+    b = pl.program_id(0)
+    lc = lc_ref[0]                                   # [SUB, CGRP] i32
+    xg = [_take1(x_ref[d], lc) for d in range(cp)]   # cp lane-gathers
+
+    @pl.when(cf[b] == 1)
+    def _():
+        o_ref[0] = jnp.zeros((3, PCH), jnp.float32)
+
+    qrows = []
+    for s in range(3):
+        q = b_ref[s * cp, 0] * xg[0]
+        for d in range(1, cp):
+            q = q + b_ref[s * cp + d, 0] * xg[d]
+        qrows.append(q)
+    o_ref[0] = o_ref[0] + _seg_scan_route(qrows, ss_ref[0], se_ref[0])
 
 
 def _auto_interpret() -> bool:
@@ -301,20 +335,7 @@ def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
         q2.append(acc)
     # One-hot camera reduction on the MXU, accumulated transposed:
     # Y[c, d] += sum_m [lcam[m] == c] q2[d][m], per sublane row.
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (CGRP, CGRP), 0)
-    Y = jnp.zeros((CGRP, cp), jnp.float32)
-    for i in range(SUB):
-        ohT = (ciota == jnp.broadcast_to(lc[i:i + 1], (CGRP, CGRP))
-               ).astype(jnp.float32)                      # [128c, 128m]
-        qi = jnp.concatenate(
-            [q2[d][i:i + 1] for d in range(cp)], axis=0
-        )                                                 # [cp, 128m]
-        Y = Y + jax.lax.dot_general(
-            ohT, qi,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    Y = _onehot_cam_reduce(q2, lc)
 
     @pl.when(gf[b] == 1)
     def _():
@@ -472,3 +493,281 @@ def payload_b_grouped(
         ops.block_group, ops.block_chunk, rs,
         ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv, ops.gw,
     )
+
+
+# ---------------------------------------------------------------------------
+# K_E: fused normal-equation build — b_rows + Hcc/g_c + hpp6/g_p in ONE
+# pass over the grouped observation stream
+# ---------------------------------------------------------------------------
+
+
+def _ke_kernel(cp, dc_rows, model, robust, bg, bc, cf, gf, rs_ref,
+               ct_ref, x3_ref, lc_ref, lp_ref, u_ref, v_ref, w_ref,
+               ss_ref, se_ref, ob_ref, ocam_ref, opt_ref):
+    from pysfm_tpu.problem import cm as cm_mod
+    from pysfm_tpu.problem import robust as robust_mod
+    from pysfm_tpu.solver.scale import TRI3, _tri_pairs
+
+    b = pl.program_id(0)
+    lc = lc_ref[0]
+    lp = lp_ref[0]
+    cols = [_take1(ct_ref[d], lc) for d in range(dc_rows)]
+    Xg = _chunk_fill(x3_ref, lp, 3)
+    u, v, Jc, Jp = cm_mod.project_jac_cm(model, cols, Xg)
+    r0 = u - u_ref[0]
+    r1 = v - v_ref[0]
+    ssum = r0 * r0 + r1 * r1
+    wq = w_ref[0] * robust_mod.weight(robust, ssum, rs_ref[0])
+    wr0 = wq * r0
+    wr1 = wq * r1
+
+    # Coupling rows (identical to K_D).
+    for k in range(3):
+        for d in range(cp):
+            ob_ref[k * cp + d, 0] = wq * (
+                Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k]
+            )
+
+    # Camera-side rows (packed lower-tri Hcc, then g_c), one-hot reduced
+    # per camera group (accumulated across the group's blocks).
+    cam_rows = [
+        wq * (Jc[0][d] * Jc[0][e] + Jc[1][d] * Jc[1][e])
+        for d, e in _tri_pairs(cp)
+    ] + [Jc[0][d] * wr0 + Jc[1][d] * wr1 for d in range(cp)]
+    Y = _onehot_cam_reduce(cam_rows, lc)
+
+    @pl.when(gf[b] == 1)
+    def _():
+        ocam_ref[:] = Y
+
+    @pl.when(gf[b] == 0)
+    def _():
+        ocam_ref[:] = ocam_ref[:] + Y
+
+    # Point-side rows (packed lower-tri Hpp, then g_p), segmented-scan
+    # reduced into the block's chunk window (points sorted within block).
+    pt_rows = [
+        wq * (Jp[0][d] * Jp[0][e] + Jp[1][d] * Jp[1][e]) for d, e in TRI3
+    ] + [Jp[0][k] * wr0 + Jp[1][k] * wr1 for k in range(3)]
+
+    @pl.when(cf[b] == 1)
+    def _():
+        opt_ref[0] = jnp.zeros((9, PCH), jnp.float32)
+
+    opt_ref[0] = opt_ref[0] + _seg_scan_route(pt_rows, ss_ref[0], se_ref[0])
+
+
+@partial(jax.jit, static_argnames=(
+    "cp", "model", "robust", "n_cameras", "n_points", "interpret"
+))
+def build_eqs_grouped(
+    ops: GroupedOps,
+    ctab: jnp.ndarray,
+    X3: jnp.ndarray,
+    robust_scale: jnp.ndarray,
+    *,
+    cp: int,
+    model: str,
+    robust: str,
+    n_cameras: int,
+    n_points: int,
+    interpret: bool | None = None,
+):
+    """Fused grouped normal-equation build: residual+Jacobian payload,
+    camera-side Hcc/g_c (one-hot MXU reduce) and point-side hpp6/g_p
+    (segmented scan) in a single pass over the grouped observation stream
+    — replaces :func:`pysfm_tpu.solver.scale.build_normal_equations_scale_cm`
+    (measured 494 ms at Venice scale on v5e; the stream here is read and
+    written once).  Returns ``(ScaleEqs with B_cm=None, b_rows)`` — the
+    coupling rows stay in grouped order for the CG kernels (K_A/K_B), so
+    the point-sorted ``B_cm`` never materializes."""
+    from pysfm_tpu.solver import scale as scale_mod
+
+    if interpret is None:
+        interpret = _auto_interpret()
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Dc = ctab.shape[0]
+    Cpad = G * CGRP
+    ct_p = jnp.zeros((Dc, Cpad), jnp.float32).at[:, : ctab.shape[1]].set(
+        ctab.astype(jnp.float32)
+    )
+    ct_rep = jax.lax.optimization_barrier(
+        jnp.broadcast_to(ct_p[:, None, :], (Dc, SUB, Cpad))
+    )
+    Ppad = NCH * PCH
+    x3_p = jnp.zeros((3, Ppad), jnp.float32).at[:, : X3.shape[1]].set(
+        X3.astype(jnp.float32)
+    )
+    rs = jnp.asarray(robust_scale, jnp.float32).reshape(1)
+    n_tri = cp * (cp + 1) // 2
+    rc = n_tri + cp
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((Dc, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (0, 0, bg[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PCH), lambda b, bg, bc, cf, gf, rs: (0, bc[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NSL, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3 * cp, 1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rs: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CGRP, rc),
+                         lambda b, bg, bc, cf, gf, rs: (bg[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, PCH),
+                         lambda b, bg, bc, cf, gf, rs: (bg[b], 0, bc[b]),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    b_rows, camT, ptp = pl.pallas_call(
+        partial(_ke_kernel, cp, Dc, model, robust),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * cp, NB, SUB, CGRP), jnp.float32),
+            jax.ShapeDtypeStruct((G * CGRP, rc), jnp.float32),
+            jax.ShapeDtypeStruct((G, 9, NCH * PCH), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, ops.cell_first, ops.group_first,
+        rs, ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv, ops.gw,
+        ops.seg_start, ops.seg_end_pos,
+    )
+    # Camera side: mask never-visited groups, unpack symmetric blocks.
+    gm = jnp.repeat(ops.group_mask, CGRP)[:, None]            # [G*128, 1]
+    cred = jnp.where(gm > 0, camT, 0.0).T[:, :n_cameras]      # [rc, C]
+    Hcc = scale_mod._unpack_sym(cred[:n_tri], cp)
+    g_c = cred[n_tri:].T                                      # [C, CP]
+    # Point side: mask never-visited (group, chunk) windows, sum groups.
+    m = ops.cell_mask[:, None, :, None]                       # [G,1,NCH,1]
+    pp = ptp.reshape(G, 9, NCH, PCH)
+    pred = jnp.sum(jnp.where(m > 0, pp, 0.0), axis=0)
+    pred = pred.reshape(9, Ppad)[:, :n_points]
+    eqs = scale_mod.ScaleEqs(
+        Hcc=Hcc, g_c=g_c, hpp6=pred[:6], g_p=pred[6:], B_cm=None
+    )
+    return eqs, b_rows
+
+
+# ---------------------------------------------------------------------------
+# K_H: exact block-Jacobi preconditioner diagonal from grouped rows
+# ---------------------------------------------------------------------------
+
+
+def _kh_kernel(cp, bg, bc, gf, hinv_ref, b_ref, lp_ref, lc_ref, o_ref):
+    from pysfm_tpu.solver.scale import _tri_pairs
+
+    b = pl.program_id(0)
+    lp = lp_ref[0]
+    lc = lc_ref[0]
+    a, bb, c_, d_, e, f = _chunk_fill(hinv_ref, lp, 6)
+    # B columns per camera dof: B(d, s) = b_ref[s*cp + d].
+    Bs = [[b_ref[s * cp + d, 0] for d in range(cp)] for s in range(3)]
+    BH = []
+    for d in range(cp):
+        B0, B1, B2 = Bs[0][d], Bs[1][d], Bs[2][d]
+        BH.append((
+            a * B0 + bb * B1 + d_ * B2,
+            bb * B0 + c_ * B1 + e * B2,
+            d_ * B0 + e * B1 + f * B2,
+        ))
+    # D(d, e) = (B Hinv B^T)(d, e) per obs — padding slots have zero B.
+    rows = []
+    for d, e2 in _tri_pairs(cp):
+        h0, h1, h2 = BH[d]
+        rows.append(h0 * Bs[0][e2] + h1 * Bs[1][e2] + h2 * Bs[2][e2])
+    Y = _onehot_cam_reduce(rows, lc)
+
+    @pl.when(gf[b] == 1)
+    def _():
+        o_ref[:] = Y
+
+    @pl.when(gf[b] == 0)
+    def _():
+        o_ref[:] = o_ref[:] + Y
+
+
+@partial(jax.jit, static_argnames=("cp", "n_cameras", "interpret"))
+def precond_diag_grouped(
+    ops: GroupedOps,
+    hinv6: jnp.ndarray,
+    n_cameras: int,
+    *,
+    cp: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Exact block-Jacobi correction ``D_c = sum_{m in c} B_m
+    Hpp_inv[pt(m)] B_m^T`` from the grouped coupling rows — replaces the
+    camera-major table gather of ``B_cm`` (the last XLA gather in the PCG
+    system build).  ``hinv6`` [6, P]; returns D [C, cp, cp] symmetric."""
+    from pysfm_tpu.solver import scale as scale_mod
+
+    if interpret is None:
+        interpret = _auto_interpret()
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Ppad = NCH * PCH
+    h_p = jnp.zeros((6, Ppad), jnp.float32).at[:, : hinv6.shape[1]].set(
+        hinv6.astype(jnp.float32)
+    )
+    h_p = jax.lax.optimization_barrier(h_p)
+    n_tri = cp * (cp + 1) // 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((6, PCH), lambda b, bg, bc, gf: (0, bc[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cp, 1, SUB, CGRP),
+                         lambda b, bg, bc, gf: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, gf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, gf: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CGRP, n_tri), lambda b, bg, bc, gf: (bg[b], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    dpartT = pl.pallas_call(
+        partial(_kh_kernel, cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * CGRP, n_tri), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, ops.group_first,
+        h_p, ops.b_rows, ops.lpt, ops.lcam,
+    )
+    gm = jnp.repeat(ops.group_mask, CGRP)[:, None]
+    dred = jnp.where(gm > 0, dpartT, 0.0).T[:, :n_cameras]    # [n_tri, C]
+    return scale_mod._unpack_sym(dred, cp)

@@ -378,18 +378,23 @@ def solve_cm(
         from pysfm_tpu.solver.kernels import pallas_spmv
 
         p = s.prob
-        eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
-        grad_inf = jnp.maximum(
-            jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
-        )
         if gops is not None:
-            b_rows = pallas_spmv.payload_b_grouped(
+            # Fused grouped build (K_E): payload + both block reductions in
+            # one pass over the grouped stream; the coupling rows never
+            # materialize in point-sorted order (eqs.B_cm is None, which
+            # routes build_pcg_system to the K_H/K_B grouped system build).
+            eqs, b_rows = pallas_spmv.build_eqs_grouped(
                 gops, cm.cam_table(p), p.X3, p.robust_scale,
                 cp=p.cam_dof, model=p.camera_model, robust=p.robust,
+                n_cameras=p.n_cameras, n_points=p.n_points,
             )
             gops_it = gops.replace(b_rows=b_rows)
         else:
+            eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
             gops_it = None
+        grad_inf = jnp.maximum(
+            jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+        )
         dc, dp3 = pcg.solve_step_pcg_cm3(
             eqs, s.lam, p.obs_cam, p.obs_pt,
             tol=config.cg_tol, max_iters=config.cg_iters,

@@ -126,9 +126,23 @@ def build_pcg_system(
     Hcc_aug = schur.augment_block_diag(Hcc, lam)
     hinv6 = scale_mod.sym6_inv(scale_mod.augment6(eqs.hpp6, lam))
 
+    use_grouped = gops is not None and eqs.B_cm is None
     use_tables = pt_obsT is not None and cam_obs is not None
     u0 = scale_mod.sym6_mv(hinv6, eqs.g_p)                     # [3, P]
-    if use_tables:
+    if use_grouped:
+        # Fully grouped path (solver/kernels/pallas_spmv.py): the coupling
+        # rows live only in grouped order (build_eqs_grouped), so rhs and
+        # the exact block-Jacobi diagonal come from the kernels — no
+        # point-sorted B_cm, no table gathers at all.
+        from pysfm_tpu.solver.kernels import pallas_spmv
+
+        rhs_red = pallas_spmv.hcp_w_grouped(gops, u0, C, cp=cp)
+        D = pallas_spmv.precond_diag_grouped(gops, hinv6, C, cp=cp)
+        D = D.astype(Hcc_aug.dtype)
+        rhs_red = rhs_red.astype(g_c.dtype)
+        Bp = camg = Bg = ptg = None
+        B_keep = oc_keep = op_keep = None
+    elif use_tables:
         pmask_t = pt_obs_maskT.astype(eqs.B_cm.dtype)          # [K, P]
         cmask = cam_obs_mask.astype(eqs.B_cm.dtype)            # [C, Kc]
         # Fence the table gathers: they feed the rhs/preconditioner reduces

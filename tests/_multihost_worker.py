@@ -32,6 +32,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The axon sitecustomize shim runs at interpreter start (before this script
+# body) and pins the jax_platforms CONFIG to the tunneled TPU; explicit
+# config beats the env var set above, so re-pin (see tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -25,6 +25,14 @@ os.environ["JAX_PLATFORMS"] = _plat
 
 import jax  # noqa: E402
 
+# The axon boot shim (sitecustomize via PYTHONPATH=/root/.axon_site) runs at
+# interpreter start — BEFORE this conftest — and pins the jax_platforms
+# CONFIG (not just the env var) to the tunneled TPU.  An explicit config
+# value beats JAX_PLATFORMS, so re-pin it here; without this the "cpu"
+# suite silently dispatches every jit to the TPU (slow, and f64
+# LU/eigh/svd are unsupported there).
+jax.config.update("jax_platforms", _plat)
+
 # x64 everywhere EXCEPT the on-hardware tier: f64 temporaries (and i64
 # iota/index types) inside the Pallas kernels fail Mosaic legalization on
 # the TPU, and the TPU tier deliberately tests the f32 production path.

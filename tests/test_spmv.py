@@ -169,3 +169,99 @@ def test_grouped_meta_consistency(rng):
     # every block's cameras share one group, points one chunk
     assert (meta.lcam >= 0).all() and (meta.lcam < grouped.CGRP).all()
     assert (meta.lpt >= 0).all() and (meta.lpt < grouped.PCH).all()
+
+
+def test_build_eqs_grouped_matches_scale_build(rng):
+    """K_E fused build (b_rows + Hcc/g_c + hpp6/g_p) == scale.py's XLA
+    build, and K_H's block-Jacobi diagonal == the table-domain one."""
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.problem import cm
+    from pysfm_tpu.solver import pcg, scale
+    from pysfm_tpu.solver.kernels import pallas_spmv
+    from pysfm_tpu.solver.lm import make_grouped_ops
+
+    sc = synthetic.make_bal_scene(
+        6, 400, mean_track=4.0, max_track=8, noise_px=0.5, seed=5,
+        robust="huber", robust_scale=2.0, dtype=np.float32,
+        with_truth=False, layout="cm",
+    )
+    p = sc.problem
+    gops = make_grouped_ops(p)
+    eqs_k, b_k = pallas_spmv.build_eqs_grouped(
+        gops, cm.cam_table(p), p.X3, p.robust_scale,
+        cp=p.cam_dof, model=p.camera_model, robust=p.robust,
+        n_cameras=p.n_cameras, n_points=p.n_points, interpret=True,
+    )
+    eqs = scale.build_normal_equations_scale_cm(p, 0)
+    b_ref = np.asarray(pallas_spmv.permute_b_rows(
+        jnp.asarray(np.asarray(eqs.B_cm)), gops.order
+    ))
+    np.testing.assert_allclose(np.asarray(b_k), b_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(eqs_k.Hcc), np.asarray(eqs.Hcc), rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(eqs_k.g_c), np.asarray(eqs.g_c), rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(eqs_k.hpp6), np.asarray(eqs.hpp6), rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(eqs_k.g_p), np.asarray(eqs.g_p), rtol=2e-4, atol=1e-4
+    )
+    assert eqs_k.B_cm is None
+
+    # K_H: preconditioner diagonal from grouped rows vs the table domain.
+    lam = jnp.asarray(1e-3, jnp.float32)
+    hinv6 = scale.sym6_inv(scale.augment6(eqs.hpp6, lam))
+    gops_it = gops.replace(b_rows=jnp.asarray(b_ref))
+    D_k = np.asarray(pallas_spmv.precond_diag_grouped(
+        gops_it, hinv6, p.n_cameras, cp=p.cam_dof, interpret=True
+    ))
+    # Reference: same contraction from the camera-major gathered table.
+    cp3 = p.cam_dof
+    Bg = np.asarray(eqs.B_cm)[:, np.asarray(p.cam_obs)]
+    Bg *= np.asarray(p.cam_obs_mask, np.float32)[None]
+    Bg4 = Bg.reshape(3, cp3, p.n_cameras, -1)
+    hv = np.asarray(hinv6)[:, np.asarray(p.obs_pt)[np.asarray(p.cam_obs)]]
+    a, b, c_, d_, e, f = hv
+    B0, B1, B2 = Bg4[0], Bg4[1], Bg4[2]
+    BH0 = a * B0 + b * B1 + d_ * B2
+    BH1 = b * B0 + c_ * B1 + e * B2
+    BH2 = d_ * B0 + e * B1 + f * B2
+    D_ref = (
+        np.einsum("dck,eck->cde", BH0, B0)
+        + np.einsum("dck,eck->cde", BH1, B1)
+        + np.einsum("dck,eck->cde", BH2, B2)
+    )
+    np.testing.assert_allclose(D_k, D_ref, rtol=3e-4, atol=1e-4)
+
+
+def test_solve_cm_fully_grouped(rng):
+    """End-to-end LM with the fully grouped path (K_E build + K_H
+    preconditioner + K_A/K_B matvecs) == the XLA path."""
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import LMConfig
+    from pysfm_tpu.solver.lm import make_grouped_ops, solve
+
+    sc = synthetic.make_bal_scene(
+        8, 500, mean_track=4.0, max_track=8, noise_px=0.5, seed=3,
+        dtype=np.float32, with_truth=False, layout="cm",
+    )
+    cfg = LMConfig(
+        max_iters=3, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=20, cg_tol=1e-6,
+    )
+    p_ref, st_ref = solve(sc.problem, cfg)
+    gops = make_grouped_ops(sc.problem)
+    p_k, st_k = solve(sc.problem, cfg, gops=gops)
+    np.testing.assert_allclose(
+        np.asarray(st_k.costs), np.asarray(st_ref.costs), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_k.X3), np.asarray(p_ref.X3), rtol=2e-2, atol=2e-3
+    )
