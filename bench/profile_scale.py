@@ -125,6 +125,26 @@ def main():
         print(f"K_D payload_b         {ms:9.2f} ms")
         gops = gops.replace(b_rows=b_rows)
 
+        ke = jax.jit(
+            lambda g, ct, x3: pallas_spmv.build_eqs_grouped(
+                g, ct, x3, p.robust_scale, cp=p.cam_dof,
+                model=p.camera_model, robust=p.robust,
+                n_cameras=p.n_cameras, n_points=p.n_points,
+            )
+        )
+        ms, (eqs_k, b_rows) = timeit(ke, gops, ctab, p.X3)
+        print(f"K_E fused NE build    {ms:9.2f} ms")
+
+        kh = jax.jit(
+            lambda g, h: pallas_spmv.precond_diag_grouped(
+                g, h, p.n_cameras, cp=p.cam_dof
+            )
+        )
+        from pysfm_tpu.solver import scale as scale_m
+        hinv6 = scale_m.sym6_inv(scale_m.augment6(eqs_k.hpp6, lam))
+        ms, _ = timeit(kh, gops, hinv6)
+        print(f"K_H precond diag      {ms:9.2f} ms")
+
         cp = p.cam_dof
         xk = jnp.ones((cp, p.n_cameras), p.dtype)
         ka = jax.jit(

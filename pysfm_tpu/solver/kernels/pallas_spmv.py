@@ -771,3 +771,104 @@ def precond_diag_grouped(
     gm = jnp.repeat(ops.group_mask, CGRP)[:, None]
     dred = jnp.where(gm > 0, dpartT, 0.0).T[:, :n_cameras]    # [n_tri, C]
     return scale_mod._unpack_sym(dred, cp)
+
+
+# ---------------------------------------------------------------------------
+# K_C: robust cost over the grouped observation stream
+# ---------------------------------------------------------------------------
+
+
+def _kc_kernel(dc_rows, model, robust, bg, bc, rs_ref,
+               ct_ref, x3_ref, lc_ref, lp_ref, u_ref, v_ref, w_ref, o_ref):
+    from pysfm_tpu.problem import cm as cm_mod
+    from pysfm_tpu.problem import robust as robust_mod
+
+    b = pl.program_id(0)
+    lc = lc_ref[0]
+    lp = lp_ref[0]
+    cols = [_take1(ct_ref[d], lc) for d in range(dc_rows)]
+    Xg = _chunk_fill(x3_ref, lp, 3)
+    u, v = cm_mod.project_cm(model, cols, Xg)
+    r0 = u - u_ref[0]
+    r1 = v - v_ref[0]
+    s = r0 * r0 + r1 * r1
+    part = w_ref[0] * robust_mod.rho(robust, s, rs_ref[0])
+    psum = jnp.sum(part, axis=0, keepdims=True)          # [1, CGRP]
+    row = jnp.broadcast_to(psum, (SUB, CGRP))
+
+    @pl.when(b == 0)
+    def _():
+        o_ref[:] = jnp.zeros((SUB, CGRP), jnp.float32)
+
+    o_ref[:] = o_ref[:] + row
+
+
+@partial(jax.jit, static_argnames=("model", "robust", "interpret"))
+def cost_grouped(
+    ops: GroupedOps,
+    ctab: jnp.ndarray,
+    X3: jnp.ndarray,
+    robust_scale: jnp.ndarray,
+    *,
+    model: str,
+    robust: str,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Robust cost ``0.5 sum_m w_m rho(|r_m|^2)`` in one pass over the
+    grouped stream (padding slots carry w = 0) — replaces the obs-chunked
+    XLA ``cost_scale_cm`` (~51 ms/eval at Venice scale on v5e) in the
+    kernel LM loop.  Every grid step accumulates its per-lane partial
+    sums into one revisited (8, 128) window; the final reduction is one
+    XLA sum of 1024 lanes."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    Dc = ctab.shape[0]
+    Cpad = G * CGRP
+    ct_p = jnp.zeros((Dc, Cpad), jnp.float32).at[:, : ctab.shape[1]].set(
+        ctab.astype(jnp.float32)
+    )
+    ct_rep = jax.lax.optimization_barrier(
+        jnp.broadcast_to(ct_p[:, None, :], (Dc, SUB, Cpad))
+    )
+    Ppad = NCH * PCH
+    x3_p = jnp.zeros((3, Ppad), jnp.float32).at[:, : X3.shape[1]].set(
+        X3.astype(jnp.float32)
+    )
+    rs = jnp.asarray(robust_scale, jnp.float32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((Dc, SUB, CGRP), lambda b, bg, bc, rs: (0, 0, bg[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PCH), lambda b, bg, bc, rs: (0, bc[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUB, CGRP), lambda b, bg, bc, rs: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    acc = pl.pallas_call(
+        partial(_kc_kernel, Dc, model, robust),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SUB, CGRP), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk, rs,
+        ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv, ops.gw,
+    )
+    return 0.5 * jnp.sum(acc[0])

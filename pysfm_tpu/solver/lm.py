@@ -335,10 +335,19 @@ def solve_cm(
     """
     from pysfm_tpu.problem import cm
     from pysfm_tpu.solver import pcg, scale
+    from pysfm_tpu.solver.kernels import pallas_spmv
 
     dtype = cmp.dtype
     n_it = config.max_iters
-    cost_fn = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
+    if gops is not None:
+        # K_C: one grouped-kernel pass instead of the obs-chunked XLA map
+        # (51 ms -> ~12 ms per cost evaluation at Venice scale on v5e).
+        cost_fn = lambda q: pallas_spmv.cost_grouped(  # noqa: E731
+            gops, cm.cam_table(q), q.X3, q.robust_scale,
+            model=q.camera_model, robust=q.robust,
+        ).astype(dtype)
+    else:
+        cost_fn = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
     init_cost = cost_fn(cmp)
     lam0 = (
         jnp.asarray(config.lam0, dtype)

@@ -265,3 +265,28 @@ def test_solve_cm_fully_grouped(rng):
     np.testing.assert_allclose(
         np.asarray(p_k.X3), np.asarray(p_ref.X3), rtol=2e-2, atol=2e-3
     )
+
+
+def test_cost_grouped_matches_scale_cost(rng):
+    """K_C grouped robust cost == the obs-chunked XLA cost."""
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.problem import cm
+    from pysfm_tpu.solver import scale
+    from pysfm_tpu.solver.kernels import pallas_spmv
+    from pysfm_tpu.solver.lm import make_grouped_ops
+
+    sc = synthetic.make_bal_scene(
+        6, 400, mean_track=4.0, max_track=8, noise_px=0.5, seed=5,
+        robust="huber", robust_scale=2.0, dtype=np.float32,
+        with_truth=False, layout="cm",
+    )
+    p = sc.problem
+    gops = make_grouped_ops(p)
+    c_k = float(pallas_spmv.cost_grouped(
+        gops, cm.cam_table(p), p.X3, p.robust_scale,
+        model=p.camera_model, robust=p.robust, interpret=True,
+    ))
+    c_ref = float(scale.cost_scale_cm(p, 0))
+    np.testing.assert_allclose(c_k, c_ref, rtol=2e-5)
