@@ -9,3 +9,10 @@ from pysfm_tpu.dist.shard import (  # noqa: F401
     unshard_problem,
 )
 from pysfm_tpu.dist.sharded_lm import solve_sharded  # noqa: F401
+from pysfm_tpu.dist.sharded_cm import (  # noqa: F401
+    ShardedCMProblem,
+    device_put_sharded_cm,
+    shard_cm_problem,
+    solve_sharded_cm,
+    unshard_cm,
+)

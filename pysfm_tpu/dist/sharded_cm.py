@@ -1,0 +1,326 @@
+"""Distributed flagship solver: the component-major / grouped-kernel LM
+loop under ``shard_map`` (BASELINE config 5).
+
+This brings the single-chip Venice path (problem/cm.py + problem/grouped.py
++ solver/kernels/pallas_spmv.py + solver/pcg.py) to a device mesh with the
+same partitioning contract as :mod:`pysfm_tpu.dist.sharded_lm`:
+
+- **Points, observations, and the grouped kernel stream are sharded**:
+  chip ``k`` owns a contiguous block of points, all observations of those
+  points (observations are point-sorted, so each shard is a contiguous
+  slice), and its own grouped layout built over the local shard.  All
+  shards are padded to one static block count (``pad_to_blocks``) so the
+  kernels compile once for every chip.
+- **Cameras are replicated**; the camera-sized partials (Hcc, g_c, the CG
+  matvec result, the block-Jacobi diagonal) psum over ICI — the plumbing
+  already inside :func:`pysfm_tpu.solver.pcg.build_pcg_system` /
+  :func:`schur_matvec` via ``axis_name``.
+- The LM control flow is :func:`pysfm_tpu.solver.lm.cm_lm_loop` — the SAME
+  function the single-chip flagship runs — with ``axis_name`` set, so the
+  distributed solver can never drift behind the single-chip one again
+  (round-3 verdict, "What's missing #1").
+
+Per-LM-iteration cross-chip traffic: one psum of [C, CP] + [C, CP, CP]
+(normal-equation partials + preconditioner), one [CP, C] psum per CG
+iteration, and the scalar cost/pred psums — at Venice scale (C = 1712,
+CP = 9) about 0.62 MB per CG iteration and ~1.2 MB per LM iteration of
+camera-sized state; point-sized state (GBs) never moves.  Reference
+analog: none — the reference is single-process NumPy (SURVEY §0/§2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pysfm_tpu.dist.mesh import AXIS
+from pysfm_tpu.problem import cm as cm_mod
+from pysfm_tpu.problem import grouped as grouped_mod
+from pysfm_tpu.solver.kernels import pallas_spmv
+from pysfm_tpu.solver.lm import LMStats, cm_lm_loop
+from pysfm_tpu.utils.config import LMConfig
+
+
+@struct.dataclass
+class ShardedCMProblem:
+    """Component-major problem partitioned over the mesh axis.
+
+    Sharded fields carry a leading shard axis ``[n, ...]``; camera state is
+    replicated.  Observation ids are LOCAL: ``obs_pt`` is relative to the
+    shard's point block, ``obs_cam`` stays global (cameras replicated).
+    """
+
+    # Replicated camera state.
+    R: jnp.ndarray              # [C, 3, 3]
+    t: jnp.ndarray              # [C, 3]
+    intr: jnp.ndarray           # [C, I]
+    cam_fixed: jnp.ndarray      # [C]
+    robust_scale: jnp.ndarray
+    # Sharded points (component-major) + validity.
+    X3: jnp.ndarray             # [n, 3, Pl]
+    pt_mask: jnp.ndarray        # [n, Pl] bool
+    # Sharded observations (point-sorted; padding slots carry obs_w = 0).
+    obs_cam: jnp.ndarray        # [n, Ml]
+    obs_pt: jnp.ndarray         # [n, Ml] local point ids
+    u: jnp.ndarray              # [n, Ml]
+    v: jnp.ndarray              # [n, Ml]
+    obs_w: jnp.ndarray          # [n, Ml]
+    # Sharded visibility tables (local obs indices).
+    pt_obsT: jnp.ndarray        # [n, K, Pl]
+    pt_obs_maskT: jnp.ndarray   # [n, K, Pl]
+    cam_obs: jnp.ndarray        # [n, C, Kc]
+    cam_obs_mask: jnp.ndarray   # [n, C, Kc]
+    camera_model: str = struct.field(pytree_node=False, default="bal")
+    robust: str = struct.field(pytree_node=False, default="gaussian")
+
+    @property
+    def n_shards(self) -> int:
+        return self.X3.shape[0]
+
+    @property
+    def n_points_global(self) -> int:
+        return self.X3.shape[0] * self.X3.shape[2]
+
+
+def shard_cm_problem(
+    cmp: cm_mod.CMProblem, n_shards: int, with_grouped: bool = True
+) -> Tuple[ShardedCMProblem, Optional[pallas_spmv.GroupedOps]]:
+    """Partition a CMProblem into ``n_shards`` point blocks (host-side).
+
+    Returns ``(sharded_problem, sharded_gops)`` where ``sharded_gops`` is a
+    :class:`~pysfm_tpu.solver.kernels.pallas_spmv.GroupedOps` whose arrays
+    carry a leading shard axis (all shards padded to one static block
+    count) — or ``None`` with ``with_grouped=False`` (the XLA-table path).
+    """
+    P_, C = cmp.n_points, cmp.n_cameras
+    obs_pt = np.asarray(cmp.obs_pt)
+    obs_cam = np.asarray(cmp.obs_cam)
+    if np.any(np.diff(obs_pt) < 0):
+        raise ValueError("observations must be sorted by point id")
+    pl = -(-P_ // n_shards)
+    starts = np.searchsorted(obs_pt, np.arange(n_shards) * pl)
+    ends = np.searchsorted(
+        obs_pt, np.minimum((np.arange(n_shards) + 1) * pl, P_)
+    )
+    if np.any(ends - starts <= 0):
+        raise ValueError(
+            "every shard needs at least one observation; "
+            f"got counts {list(ends - starts)}"
+        )
+    ml = int(np.max(ends - starts))
+
+    X3 = np.asarray(cmp.X3)
+    X3s = np.zeros((n_shards, 3, pl), X3.dtype)
+    pt_mask = np.zeros((n_shards, pl), bool)
+    for k in range(n_shards):
+        lo, hi = k * pl, min((k + 1) * pl, P_)
+        X3s[k, :, : hi - lo] = X3[:, lo:hi]
+        pt_mask[k, : hi - lo] = True
+
+    def pad_obs(arr, fill=0):
+        out = np.full((n_shards, ml), fill, dtype=arr.dtype)
+        for k in range(n_shards):
+            lo, hi = starts[k], ends[k]
+            out[k, : hi - lo] = arr[lo:hi]
+        return out
+
+    oc_s = pad_obs(obs_cam)
+    op_s = pad_obs(obs_pt)
+    for k in range(n_shards):
+        op_s[k] -= k * pl
+    op_s = np.clip(op_s, 0, pl - 1)
+    u_s = pad_obs(np.asarray(cmp.u), fill=0.0)
+    v_s = pad_obs(np.asarray(cmp.v), fill=0.0)
+    w_s = pad_obs(np.asarray(cmp.obs_w), fill=0.0)
+
+    # Local visibility tables (built over the real obs only).
+    from pysfm_tpu.problem.problem import build_point_obs_table
+
+    tabs, msks, ctabs, cmsks = [], [], [], []
+    for k in range(n_shards):
+        n_real = int(ends[k] - starts[k])
+        tab, msk = build_point_obs_table(op_s[k, :n_real], pl)
+        tabs.append(tab)
+        msks.append(msk)
+        ctab, cmsk = build_point_obs_table(oc_s[k, :n_real], C)
+        ctabs.append(ctab)
+        cmsks.append(cmsk)
+    K = max(t_.shape[1] for t_ in tabs)
+    Kc = max(t_.shape[1] for t_ in ctabs)
+    pt_obsT = np.zeros((n_shards, K, pl), np.int32)
+    pt_obs_maskT = np.zeros((n_shards, K, pl), bool)
+    cam_obs = np.zeros((n_shards, C, Kc), np.int32)
+    cam_obs_mask = np.zeros((n_shards, C, Kc), bool)
+    for k in range(n_shards):
+        pt_obsT[k, : tabs[k].shape[1]] = tabs[k].T
+        pt_obs_maskT[k, : msks[k].shape[1]] = msks[k].T
+        cam_obs[k, :, : ctabs[k].shape[1]] = ctabs[k]
+        cam_obs_mask[k, :, : cmsks[k].shape[1]] = cmsks[k]
+
+    scm = ShardedCMProblem(
+        R=cmp.R, t=cmp.t, intr=cmp.intr, cam_fixed=cmp.cam_fixed,
+        robust_scale=cmp.robust_scale,
+        X3=jnp.asarray(X3s), pt_mask=jnp.asarray(pt_mask),
+        obs_cam=jnp.asarray(oc_s), obs_pt=jnp.asarray(op_s),
+        u=jnp.asarray(u_s), v=jnp.asarray(v_s), obs_w=jnp.asarray(w_s),
+        pt_obsT=jnp.asarray(pt_obsT),
+        pt_obs_maskT=jnp.asarray(pt_obs_maskT),
+        cam_obs=jnp.asarray(cam_obs), cam_obs_mask=jnp.asarray(cam_obs_mask),
+        camera_model=cmp.camera_model, robust=cmp.robust,
+    )
+    if not with_grouped:
+        return scm, None
+
+    # Grouped layout per shard, padded to one static block count.
+    metas = []
+    for k in range(n_shards):
+        n_real = int(ends[k] - starts[k])
+        metas.append(
+            grouped_mod.build_grouped(
+                oc_s[k, :n_real], op_s[k, :n_real], C, pl
+            )
+        )
+    nb_max = max(m.block_group.shape[0] for m in metas)
+    cp = cmp.cam_dof
+    per_shard = []
+    for k in range(n_shards):
+        meta = metas[k]
+        if meta.block_group.shape[0] < nb_max:
+            meta = grouped_mod._append_pad_blocks(meta, nb_max)
+        n_real = int(ends[k] - starts[k])
+        b0 = jnp.zeros(
+            (3 * cp, nb_max, grouped_mod.BLK // 128, 128), jnp.float32
+        )
+        per_shard.append(
+            pallas_spmv.device_grouped(
+                meta, b0,
+                u=u_s[k, :n_real], v=v_s[k, :n_real], w=w_s[k, :n_real],
+            )
+        )
+    sgops = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_shard
+    )
+    return scm, sgops
+
+
+def device_put_sharded_cm(
+    scm: ShardedCMProblem, sgops, mesh
+) -> Tuple[ShardedCMProblem, object]:
+    """Place the sharded fields on the mesh (leading axis over AXIS) and
+    replicate the camera state."""
+    shard = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+    scm = scm.replace(
+        R=jax.device_put(scm.R, repl), t=jax.device_put(scm.t, repl),
+        intr=jax.device_put(scm.intr, repl),
+        cam_fixed=jax.device_put(scm.cam_fixed, repl),
+        robust_scale=jax.device_put(scm.robust_scale, repl),
+        X3=jax.device_put(scm.X3, shard),
+        pt_mask=jax.device_put(scm.pt_mask, shard),
+        obs_cam=jax.device_put(scm.obs_cam, shard),
+        obs_pt=jax.device_put(scm.obs_pt, shard),
+        u=jax.device_put(scm.u, shard), v=jax.device_put(scm.v, shard),
+        obs_w=jax.device_put(scm.obs_w, shard),
+        pt_obsT=jax.device_put(scm.pt_obsT, shard),
+        pt_obs_maskT=jax.device_put(scm.pt_obs_maskT, shard),
+        cam_obs=jax.device_put(scm.cam_obs, shard),
+        cam_obs_mask=jax.device_put(scm.cam_obs_mask, shard),
+    )
+    if sgops is not None:
+        sgops = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), sgops
+        )
+    return scm, sgops
+
+
+def _strip(x):
+    return x[0]
+
+
+def solve_sharded_cm(
+    scm: ShardedCMProblem,
+    sgops,
+    mesh,
+    config: LMConfig = LMConfig(solver="pcg"),
+    lam_init=None,
+    nu_init=None,
+) -> Tuple[ShardedCMProblem, LMStats]:
+    """Distributed CM LM solve on ``mesh``.
+
+    ``sgops`` routes the CG matvecs + normal-equation build through the
+    grouped Pallas kernels (the flagship path); ``sgops=None`` runs the
+    obs-chunked XLA build with table matvecs (dtype-preserving — used for
+    f64 equality tests)."""
+    repl = ShardedCMProblem(
+        R=P(), t=P(), intr=P(), cam_fixed=P(), robust_scale=P(),
+        X3=P(AXIS), pt_mask=P(AXIS),
+        obs_cam=P(AXIS), obs_pt=P(AXIS),
+        u=P(AXIS), v=P(AXIS), obs_w=P(AXIS),
+        pt_obsT=P(AXIS), pt_obs_maskT=P(AXIS),
+        cam_obs=P(AXIS), cam_obs_mask=P(AXIS),
+        camera_model=scm.camera_model, robust=scm.robust,
+    )
+    gops_spec = (
+        None
+        if sgops is None
+        else jax.tree_util.tree_map(lambda _: P(AXIS), sgops)
+    )
+    stats_spec = LMStats(
+        costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(),
+    )
+    in_specs = (repl,) if sgops is None else (repl, gops_spec)
+    out_specs = (repl, stats_spec)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(scm_l: ShardedCMProblem, *maybe_gops):
+        gl = None
+        if maybe_gops:
+            gl = jax.tree_util.tree_map(_strip, maybe_gops[0])
+        lp = cm_mod.CMProblem(
+            R=scm_l.R, t=scm_l.t, intr=scm_l.intr,
+            cam_fixed=scm_l.cam_fixed,
+            X3=_strip(scm_l.X3),
+            obs_cam=_strip(scm_l.obs_cam), obs_pt=_strip(scm_l.obs_pt),
+            u=_strip(scm_l.u), v=_strip(scm_l.v),
+            obs_w=_strip(scm_l.obs_w),
+            pt_obsT=_strip(scm_l.pt_obsT),
+            pt_obs_maskT=_strip(scm_l.pt_obs_maskT),
+            cam_obs=_strip(scm_l.cam_obs),
+            cam_obs_mask=_strip(scm_l.cam_obs_mask),
+            robust_scale=scm_l.robust_scale,
+            camera_model=scm_l.camera_model, robust=scm_l.robust,
+        )
+        solved, stats = cm_lm_loop(
+            lp, config, lam_init, nu_init, gops=gl, axis_name=AXIS
+        )
+        out = scm_l.replace(
+            R=solved.R, t=solved.t, intr=solved.intr,
+            X3=solved.X3[None],
+        )
+        return out, stats
+
+    args = (scm,) if sgops is None else (scm, sgops)
+    return jax.jit(run, static_argnames=())(*args)
+
+
+def unshard_cm(scm: ShardedCMProblem, template: cm_mod.CMProblem):
+    """Rebuild a global CMProblem (host-side) from a solved shard set."""
+    X3 = np.asarray(scm.X3)
+    mask = np.asarray(scm.pt_mask)
+    cols = np.concatenate(
+        [X3[k][:, mask[k]] for k in range(X3.shape[0])], axis=1
+    )
+    return template.replace(
+        R=scm.R, t=scm.t, intr=scm.intr, X3=jnp.asarray(cols)
+    )

@@ -85,9 +85,20 @@ class GroupedMeta(NamedTuple):
 
 
 def build_grouped(
-    obs_cam: np.ndarray, obs_pt: np.ndarray, n_cameras: int, n_points: int
+    obs_cam: np.ndarray,
+    obs_pt: np.ndarray,
+    n_cameras: int,
+    n_points: int,
+    pad_to_blocks: int = 0,
 ) -> GroupedMeta:
-    """Build the grouped layout for one problem (pure NumPy, host-side)."""
+    """Build the grouped layout for one problem (pure NumPy, host-side).
+
+    ``pad_to_blocks`` > NB appends inert padding blocks so several shards
+    of one problem share a static block count under ``shard_map``: pad
+    blocks copy the last real block's (group, chunk, lcam, lpt) — so every
+    reference is to a known-finite (camera, point) pair — with ``valid = 0``
+    (w = 0 rows), ``cell_first = group_first = 0`` (pure accumulate of
+    zeros) and ``seg_end_pos = BLK`` (no run routed anywhere)."""
     obs_cam = np.asarray(obs_cam, np.int64)
     obs_pt = np.asarray(obs_pt, np.int64)
     M = obs_cam.shape[0]
@@ -185,7 +196,7 @@ def build_grouped(
     group_mask = np.zeros(G, np.float32)
     group_mask[block_group] = 1.0
 
-    return GroupedMeta(
+    meta = GroupedMeta(
         order=order.astype(np.int32),
         lcam=lcam,
         lpt=lpt,
@@ -202,4 +213,58 @@ def build_grouped(
         group_mask=group_mask,
         n_groups=G,
         n_chunks=NCH,
+    )
+    if pad_to_blocks > NB:
+        meta = _append_pad_blocks(meta, pad_to_blocks)
+    return meta
+
+
+def _append_pad_blocks(meta: GroupedMeta, nb_target: int) -> GroupedMeta:
+    """Append ``nb_target - NB`` inert blocks (see :func:`build_grouped`)."""
+    NB = meta.block_group.shape[0]
+    if NB == 0:
+        raise ValueError("cannot pad an empty grouped stream")
+    extra = nb_target - NB
+
+    def rep_last(a):
+        """Tile the last block's slice of a per-block array."""
+        tail = np.repeat(a[NB - 1:NB], extra, axis=0)
+        return np.concatenate([a, tail], axis=0)
+
+    lcam2 = meta.lcam.reshape(NB, BLK)
+    lpt2 = meta.lpt.reshape(NB, BLK)
+    return meta._replace(
+        order=np.concatenate(
+            [meta.order, np.full(extra * BLK, -1, np.int32)]
+        ),
+        lcam=rep_last(lcam2).reshape(-1),
+        lpt=rep_last(lpt2).reshape(-1),
+        valid=np.concatenate(
+            [meta.valid, np.zeros(extra * BLK, np.float32)]
+        ),
+        block_group=rep_last(meta.block_group),
+        block_chunk=rep_last(meta.block_chunk),
+        cell_first=np.concatenate(
+            [meta.cell_first, np.zeros(extra, np.int32)]
+        ),
+        seg_start=np.concatenate(
+            [meta.seg_start, np.ones(extra * BLK, np.float32)]
+        ),
+        seg_end_pos=np.concatenate(
+            [
+                meta.seg_end_pos,
+                np.full((extra, PCH // CGRP, CGRP), BLK, np.int32),
+            ],
+            axis=0,
+        ),
+        expand_rows=np.concatenate(
+            [meta.expand_rows, np.zeros((extra, PCH // CGRP), np.int32)],
+            axis=0,
+        ),
+        wfill_rows=np.concatenate(
+            [meta.wfill_rows, np.zeros(extra, np.int32)]
+        ),
+        group_first=np.concatenate(
+            [meta.group_first, np.zeros(extra, np.int32)]
+        ),
     )

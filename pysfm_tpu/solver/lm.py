@@ -333,21 +333,52 @@ def solve_cm(
     observation- or point-sized ever materializes with a small minor axis.
     Returns ``(CMProblem, LMStats)``.
     """
+    return cm_lm_loop(cmp, config, lam_init, nu_init, gops)
+
+
+def cm_lm_loop(
+    cmp,
+    config: LMConfig = LMConfig(),
+    lam_init=None,
+    nu_init=None,
+    gops=None,
+    axis_name: str | None = None,
+):
+    """The CM LM while_loop, parameterized over an optional mesh axis.
+
+    With ``axis_name`` set this is the DISTRIBUTED flagship path (called
+    inside ``shard_map`` by :mod:`pysfm_tpu.dist.sharded_cm`): ``cmp`` and
+    ``gops`` are one chip's point/observation shard with replicated camera
+    state, and every camera-sized or scalar control quantity is psum'd so
+    all chips execute the identical accept/reject sequence in lockstep.
+    With ``axis_name=None`` it is exactly the single-chip :func:`solve_cm`.
+    """
     from pysfm_tpu.problem import cm
     from pysfm_tpu.solver import pcg, scale
     from pysfm_tpu.solver.kernels import pallas_spmv
+
+    def psum(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    def pmax(x):
+        return x if axis_name is None else jax.lax.pmax(x, axis_name)
 
     dtype = cmp.dtype
     n_it = config.max_iters
     if gops is not None:
         # K_C: one grouped-kernel pass instead of the obs-chunked XLA map
         # (51 ms -> ~12 ms per cost evaluation at Venice scale on v5e).
-        cost_fn = lambda q: pallas_spmv.cost_grouped(  # noqa: E731
+        # NOTE: the grouped kernels compute in f32 internally regardless of
+        # cmp.dtype — costs/gradients feeding accept/reject get f32
+        # accuracy.  An f64 problem that needs f64 control flow should run
+        # without gops (the obs-chunked XLA path preserves cmp.dtype).
+        cost_local = lambda q: pallas_spmv.cost_grouped(  # noqa: E731
             gops, cm.cam_table(q), q.X3, q.robust_scale,
             model=q.camera_model, robust=q.robust,
         ).astype(dtype)
     else:
-        cost_fn = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
+        cost_local = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
+    cost_fn = lambda q: psum(cost_local(q))  # noqa: E731
     init_cost = cost_fn(cmp)
     lam0 = (
         jnp.asarray(config.lam0, dtype)
@@ -384,8 +415,6 @@ def solve_cm(
         return jnp.logical_and(s.it < n_it, jnp.logical_not(s.done))
 
     def body(s: _CMState) -> _CMState:
-        from pysfm_tpu.solver.kernels import pallas_spmv
-
         p = s.prob
         if gops is not None:
             # Fused grouped build (K_E): payload + both block reductions in
@@ -402,11 +431,13 @@ def solve_cm(
             eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
             gops_it = None
         grad_inf = jnp.maximum(
-            jnp.max(jnp.abs(eqs.g_c)), jnp.max(jnp.abs(eqs.g_p))
+            jnp.max(jnp.abs(psum(eqs.g_c))),
+            pmax(jnp.max(jnp.abs(eqs.g_p))),
         )
         dc, dp3 = pcg.solve_step_pcg_cm3(
             eqs, s.lam, p.obs_cam, p.obs_pt,
             tol=config.cg_tol, max_iters=config.cg_iters,
+            axis_name=axis_name,
             pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
             cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
             dc_warm=s.dc_prev if config.cg_warm_start else None,
@@ -414,7 +445,9 @@ def solve_cm(
         )
         cand = cm.apply_update_cm(p, dc, dp3)
         new_cost = cost_fn(cand)
-        pred = scale.predicted_reduction_scale_cm(eqs, s.lam, dc, dp3)
+        pred = scale.predicted_reduction_scale_cm(
+            eqs, s.lam, dc, dp3, axis_name=axis_name
+        )
         actual = s.cost - new_cost
         rho = actual / jnp.maximum(pred, jnp.finfo(dtype).tiny)
 
@@ -451,7 +484,9 @@ def solve_cm(
         )
         cost_next = jnp.where(ok, new_cost, s.cost)
 
-        step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dp3 * dp3))
+        step_norm = jnp.sqrt(
+            jnp.sum(dc * dc) + psum(jnp.sum(dp3 * dp3))
+        )
         converged = grad_inf < config.tol_grad
         converged = jnp.logical_or(
             converged,

@@ -42,7 +42,7 @@ summation order); equality is asserted in f64 by ``tests/test_scale.py``.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,13 +56,19 @@ TRI3 = ((0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2))
 
 
 class ScaleEqs(NamedTuple):
-    """Component-major undamped normal equations for the BAL-scale path."""
+    """Component-major undamped normal equations for the BAL-scale path.
+
+    ``B_cm is None`` means the coupling rows live only in GROUPED order
+    (built by :func:`pysfm_tpu.solver.kernels.pallas_spmv.build_eqs_grouped`
+    as per-iteration ``b_rows``); ``pcg.build_pcg_system`` branches on this
+    to run the fully grouped kernel system build."""
 
     Hcc: jnp.ndarray    # [C, CP, CP] (dense, symmetric; small)
     g_c: jnp.ndarray    # [C, CP]
     hpp6: jnp.ndarray   # [6, P] lower-tri point blocks (00,10,11,20,21,22)
     g_p: jnp.ndarray    # [3, P]
-    B_cm: jnp.ndarray   # [3*CP, M]; row s*CP+d = sum_i Jc[i,d] w Jp[i,s]
+    B_cm: Optional[jnp.ndarray]  # [3*CP, M]; row s*CP+d = sum_i Jc[i,d] w
+                                 # Jp[i,s]; None => grouped-rows convention
 
 
 def _tri_pairs(cp: int):
