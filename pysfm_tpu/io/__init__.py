@@ -12,8 +12,10 @@ from pysfm_tpu.io.checkpoint import (
     SolverCheckpoint,
     latest_checkpoint,
     load_checkpoint,
+    load_checkpoint_cm,
     load_checkpoint_sharded,
     save_checkpoint,
+    save_checkpoint_cm,
     save_checkpoint_sharded,
 )
 
@@ -21,5 +23,6 @@ __all__ = [
     "load_bal", "save_bal", "load_bundler", "save_bundler",
     "SolverCheckpoint", "save_checkpoint", "load_checkpoint",
     "save_checkpoint_sharded", "load_checkpoint_sharded",
+    "save_checkpoint_cm", "load_checkpoint_cm",
     "latest_checkpoint",
 ]

@@ -50,8 +50,14 @@ def load_bal(
     robust_scale: float = 1.0,
     dtype=np.float64,
     max_track: int | None = None,
-) -> BundleProblem:
-    """Load a BAL problem file into a :class:`BundleProblem`."""
+    layout: str = "std",
+):
+    """Load a BAL problem file.
+
+    ``layout="std"`` returns a :class:`BundleProblem`; ``layout="cm"``
+    returns the component-major :class:`~pysfm_tpu.problem.cm.CMProblem`
+    the BAL-scale solver path consumes directly (pass the result to
+    ``lm.solve`` with ``solver="pcg"`` + ``make_grouped_ops``)."""
     from pysfm_tpu.io import native
 
     with _open(path, "rb") as f:
@@ -68,16 +74,34 @@ def load_bal(
     obs_pt = obs[:, 1].astype(np.int32)
     uv = obs[:, 2:4]
 
+    import jax
     import jax.numpy as jnp
 
-    R = np.asarray(so3.exp(jnp.asarray(cams[:, 0:3])))
+    # Rodrigues -> R on the host CPU backend when available: at Venice
+    # scale the default device may be a tunneled TPU where this tiny
+    # conversion would cost minutes of transfer (see bench/venice.py).
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            R = np.asarray(so3.exp(jnp.asarray(cams[:, 0:3])))
+    else:
+        R = np.asarray(so3.exp(jnp.asarray(cams[:, 0:3])))
     t = cams[:, 3:6]
     intr = cams[:, 6:9]                       # f, k1, k2
-    return make_problem(
-        R, t, intr, X, obs_cam, obs_pt, uv,
+    kw = dict(
         camera_model="bal", robust=robust, robust_scale=robust_scale,
         dtype=dtype, max_track=max_track,
     )
+    if layout == "cm":
+        from pysfm_tpu.problem import cm as cm_mod
+
+        return cm_mod.make_cm_problem(
+            R, t, intr, X, obs_cam, obs_pt, uv, **kw
+        )
+    return make_problem(R, t, intr, X, obs_cam, obs_pt, uv, **kw)
 
 
 def save_bal(path: str, problem: BundleProblem) -> None:

@@ -92,6 +92,73 @@ def load_checkpoint(path: str, dtype=None) -> SolverCheckpoint:
 
 
 # --------------------------------------------------------------------------
+# Component-major (BAL/Venice-scale) checkpointing.
+# --------------------------------------------------------------------------
+
+_CM_FIELDS = (
+    "R", "t", "intr", "cam_fixed", "X3", "obs_cam", "obs_pt", "u", "v",
+    "obs_w", "pt_obsT", "pt_obs_maskT", "cam_obs", "cam_obs_mask",
+    "robust_scale",
+)
+
+
+def save_checkpoint_cm(
+    path: str,
+    cmp,
+    *,
+    lam: float = 1e-3,
+    nu: float = 2.0,
+    iteration: int = 0,
+    extra: Optional[dict] = None,
+) -> None:
+    """Atomically save a :class:`~pysfm_tpu.problem.cm.CMProblem` mid-solve
+    (the natural segment boundary of ``lm.solve_segmented`` at Venice
+    scale).  Uncompressed npz: at 5M observations zlib costs ~10x the
+    write and the arrays are float/int noise anyway."""
+    arrays = {name: np.asarray(getattr(cmp, name)) for name in _CM_FIELDS}
+    arrays.update(
+        lam=np.asarray(lam), nu=np.asarray(nu),
+        iteration=np.asarray(iteration),
+    )
+    meta = {
+        "camera_model": cmp.camera_model,
+        "robust": cmp.robust,
+        "extra": extra or {},
+        "version": 1,
+        "layout": "cm",
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    with open(path + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
+    os.replace(tmp, path)
+
+
+def load_checkpoint_cm(path: str):
+    """Load a CM checkpoint; returns ``(CMProblem, lam, nu, iteration)``.
+
+    Arrays come back host-resident; the first ``solve`` call device-puts
+    them (or build grouped ops first — the grouped layout is a pure
+    function of (obs_cam, obs_pt), so it needs no checkpoint state)."""
+    import jax.numpy as jnp
+
+    from pysfm_tpu.problem.cm import CMProblem
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    if meta.get("layout") != "cm":
+        raise ValueError(f"{path} is not a CM checkpoint")
+    z = np.load(path)
+    cmp = CMProblem(
+        camera_model=meta["camera_model"], robust=meta["robust"],
+        **{name: jnp.asarray(z[name]) for name in _CM_FIELDS},
+    )
+    return cmp, float(z["lam"]), float(z["nu"]), int(z["iteration"])
+
+
+# --------------------------------------------------------------------------
 # Sharded (multi-chip / multi-host) checkpointing.
 # --------------------------------------------------------------------------
 

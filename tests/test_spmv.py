@@ -1,8 +1,9 @@
 """Grouped-layout Pallas S-matvec kernels vs a direct NumPy reference.
 
 Covers pysfm_tpu/problem/grouped.py (static layout build) and
-pysfm_tpu/solver/kernels/pallas_spmv.py (K_A / K_B) in interpret mode on
-CPU; compiled-on-TPU equality lives in tests/test_tpu_hw.py.
+pysfm_tpu/solver/kernels/pallas_spmv.py (K_A/K_B/K_C/K_D/K_E/K_H) in
+interpret mode on CPU; compiled-on-TPU equality is
+tests/test_tpu_hw.py::test_grouped_kernels_compiled_on_tpu.
 """
 
 import numpy as np
