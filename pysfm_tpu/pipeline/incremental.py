@@ -85,6 +85,12 @@ class IncrementalConfig:
     # difference between ATE ~0.5 and ~0.04 on the tracked-video tests.
     robust: str = "cauchy"
     robust_scale: float = 0.5
+    # Frames resected per batched PnP dispatch (all against the same map
+    # state) before the next windowed BA.  Cuts device round-trips per
+    # keyframe ~register_batch-fold; 1 recovers the one-frame-per-BA
+    # schedule.  Keep <= window so the window BA still covers every newly
+    # registered camera.
+    register_batch: int = 4
     seed: int = 0
 
 
@@ -188,6 +194,36 @@ def _two_view_batch(keys, pn1s, pn2s, ws, *, n_hypotheses, threshold):
     return jax.vmap(one)(keys, pn1s, pn2s, ws)
 
 
+@partial(jax.jit, static_argnames=("n_hypotheses", "threshold"))
+def _pnp_batch(keys, Xps, pns, wps, *, n_hypotheses, threshold):
+    """A batch of P3P-RANSAC resections in ONE dispatch (vmap over the
+    frame axis) — same round-trip-batching pattern as
+    :func:`_two_view_batch`.  Inputs padded to a common point count with
+    zero-weight rows; returns ``(R [B,3,3], t [B,3], inliers [B,N])``."""
+    def one(key, Xp, pn, w):
+        return p3p.p3p_ransac(
+            key, Xp, pn,
+            n_hypotheses=n_hypotheses, threshold=threshold,
+            data_weights=w,
+        )
+
+    return jax.vmap(one)(keys, Xps, pns, wps)
+
+
+def _hygiene_uvhat(camera_model, R, t, intr, X, ff_all, tt_all):
+    """Reprojection of every (static) observation slot for post-BA
+    filtering — one device dispatch per BA round."""
+    from pysfm_tpu.geometry import projection as _proj
+
+    return np.asarray(
+        _proj.project(
+            camera_model,
+            jnp.asarray(R[ff_all]), jnp.asarray(t[ff_all]),
+            jnp.asarray(intr[ff_all]), jnp.asarray(X[tt_all]),
+        )
+    )
+
+
 def run_incremental(
     uv: np.ndarray,        # [F, T, 2] pixel measurement of track t in frame f
     vis: np.ndarray,       # [F, T] bool visibility
@@ -200,11 +236,31 @@ def run_incremental(
     Bootstraps from the best-conditioned frame pair (inliers x parallax),
     then registers remaining frames next-best-view first.
     """
+    import time as _time
+
     F, T = vis.shape
     cfg = config
     key = jax.random.PRNGKey(cfg.seed)
     uv_j = jnp.asarray(uv)
     intr_j = jnp.asarray(intr)
+
+    timings = {
+        "pnp": 0.0, "triangulate": 0.0, "window_ba": 0.0,
+        "hygiene": 0.0, "bootstrap": 0.0, "host_other": 0.0,
+    }
+    _t_run0 = _time.perf_counter()
+
+    class _T:
+        """Accumulate wall time of a stage into ``timings``."""
+
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            self.t0 = _time.perf_counter()
+
+        def __exit__(self, *a):
+            timings[self.name] += _time.perf_counter() - self.t0
 
     # Normalized coordinates for every (frame, track) — batched, once.
     pn_all = np.asarray(
@@ -259,11 +315,12 @@ def run_incremental(
         ws[k, :n] = 1.0
     key, sub = jax.random.split(key)
     keys = jax.random.split(sub, NP)
-    R2b, t2b, inlb, Xtrib, angb = _two_view_batch(
-        keys, jnp.asarray(pn1s), jnp.asarray(pn2s), jnp.asarray(ws),
-        n_hypotheses=cfg.ransac_hypotheses,
-        threshold=cfg.epipolar_threshold,
-    )
+    with _T("bootstrap"):
+        R2b, t2b, inlb, Xtrib, angb = _two_view_batch(
+            keys, jnp.asarray(pn1s), jnp.asarray(pn2s), jnp.asarray(ws),
+            n_hypotheses=cfg.ransac_hypotheses,
+            threshold=cfg.epipolar_threshold,
+        )
     R2b, t2b, Xtrib, angb = map(np.asarray, (R2b, t2b, Xtrib, angb))
     inlb = np.asarray(inlb) & (ws > 0)
 
@@ -335,8 +392,9 @@ def run_incremental(
             cam_fixed=fixed | ~registered,
             obs_w=obs_w,
         )
-        solved, st = solve(prob, _LMConfig(max_iters=iters))
-        stats["ba_costs"].append(float(np.asarray(st.costs)[-1]))
+        with _T("window_ba"):
+            solved, st = solve(prob, _LMConfig(max_iters=iters))
+            stats["ba_costs"].append(float(np.asarray(st.costs)[-1]))
         R[:] = np.asarray(solved.R)
         t[:] = np.asarray(solved.t)
         X[:] = np.asarray(solved.X)
@@ -404,8 +462,9 @@ def run_incremental(
             cam_fixed=fixed_s, obs_w=w_s,
             max_track=Kb, max_cam_obs=Kcb,
         )
-        solved, st = solve(prob, _LMConfig(max_iters=cfg.ba_iters_window))
-        stats["ba_costs"].append(float(np.asarray(st.costs)[-1]))
+        with _T("window_ba"):
+            solved, st = solve(prob, _LMConfig(max_iters=cfg.ba_iters_window))
+            stats["ba_costs"].append(float(np.asarray(st.costs)[-1]))
         free_rows = np.flatnonzero(~fixed_s[:nc])
         R[sel_cams[free_rows]] = np.asarray(solved.R)[free_rows]
         t[sel_cams[free_rows]] = np.asarray(solved.t)[free_rows]
@@ -425,15 +484,10 @@ def run_incremental(
         renormalize()
         # Hygiene (SURVEY §3.3): deactivate observations whose reprojection
         # error exceeds the bound; demote points left under-observed.
-        from pysfm_tpu.geometry import projection as _proj
-
-        uv_hat = np.asarray(
-            _proj.project(
-                camera_model,
-                jnp.asarray(R[ff_all]), jnp.asarray(t[ff_all]),
-                jnp.asarray(intr[ff_all]), jnp.asarray(X[tt_all]),
+        with _T("hygiene"):
+            uv_hat = _hygiene_uvhat(
+                camera_model, R, t, intr, X, ff_all, tt_all
             )
-        )
         err = np.linalg.norm(uv_hat - uv[ff_all, tt_all], axis=-1)
         live = active[ff_all, tt_all] & registered[ff_all] & has_pt[tt_all]
         sigma = 1.4826 * np.median(err[live]) if live.any() else 0.0
@@ -458,44 +512,62 @@ def run_incremental(
     windowed_ba()
 
     # ---- incremental loop (SURVEY §3.3), next-best-view order -------------
-    def try_register(f):
+    def resect_frames(frames):
+        """Resect a BATCH of candidate frames in one vmapped PnP-RANSAC
+        dispatch (VERDICT r3 weak #4: per-frame dispatches through the
+        tunneled runtime dominated frames/s; the init-pair RANSAC was
+        batched the same way in r3 — _two_view_batch is the template).
+        All candidates are resected against the SAME map state, so their
+        poses are independent of acceptance order; returns the accepted
+        subset."""
         nonlocal key
-        usable = active[f] & has_pt
-        n_use = int(usable.sum())
-        stats["pnp_candidates"].append(n_use)
-        if n_use < cfg.min_pnp_points:
-            return False
-        uidx = np.flatnonzero(usable)
-        npad = _pad_count(n_use)
-        Xp = np.tile(np.array([0.0, 0.0, 10.0]), (npad, 1))
-        pnp_ = np.zeros((npad, 2))
-        wp = np.zeros(npad)
-        Xp[:n_use] = X[uidx]
-        pnp_[:n_use] = pn_all[f, uidx]
-        wp[:n_use] = 1.0
+        B = len(frames)
+        n_uses = [int((active[f] & has_pt).sum()) for f in frames]
+        npad = _pad_count(max(n_uses))
+        Xps = np.tile(np.array([0.0, 0.0, 10.0]), (B, npad, 1))
+        pns = np.zeros((B, npad, 2))
+        wps = np.zeros((B, npad))
+        for k, f in enumerate(frames):
+            uidx = np.flatnonzero(active[f] & has_pt)
+            stats["pnp_candidates"].append(len(uidx))
+            Xps[k, : len(uidx)] = X[uidx]
+            pns[k, : len(uidx)] = pn_all[f, uidx]
+            wps[k, : len(uidx)] = 1.0
         key, sub = jax.random.split(key)
-        Rf, tf, inliers = p3p.p3p_ransac(
-            sub, jnp.asarray(Xp), jnp.asarray(pnp_),
-            n_hypotheses=cfg.ransac_hypotheses,
-            threshold=cfg.pnp_threshold,
-            data_weights=jnp.asarray(wp),
-        )
-        inliers = np.asarray(inliers) & (wp > 0)
-        n_inl = int(inliers.sum())
-        stats["pnp_inliers"].append(n_inl)
-        if n_inl < cfg.min_pnp_points:
-            # Resection unreliable — skip this frame rather than poisoning
-            # the map with a garbage pose.
-            return False
-        R[f] = np.asarray(Rf)
-        t[f] = np.asarray(tf)
-        registered[f] = True
+        keys = jax.random.split(sub, B)
+        with _T("pnp"):
+            Rb, tb, inlb = _pnp_batch(
+                keys, jnp.asarray(Xps), jnp.asarray(pns), jnp.asarray(wps),
+                n_hypotheses=cfg.ransac_hypotheses,
+                threshold=cfg.pnp_threshold,
+            )
+            Rb, tb = np.asarray(Rb), np.asarray(tb)
+            inlb = np.asarray(inlb) & (wps > 0)
+        newly = []
+        for k, f in enumerate(frames):
+            n_inl = int(inlb[k].sum())
+            stats["pnp_inliers"].append(n_inl)
+            if n_inl < cfg.min_pnp_points:
+                # Resection unreliable — skip rather than poisoning the
+                # map with a garbage pose; retried after the map grows.
+                continue
+            R[f] = Rb[k]
+            t[f] = tb[k]
+            registered[f] = True
+            newly.append(f)
+        return newly
 
-        # Triangulate tracks newly visible in >= min_track_views registered
-        # frames (masked multi-view DLT over all F frames, static shape).
+    def triangulate_new(new_frames):
+        """Triangulate tracks newly visible in >= min_track_views
+        registered frames (masked multi-view DLT, static shape) — one
+        dispatch for the whole batch of newly registered frames."""
         obs_reg = active & registered[:, None]              # [F, T]
         counts_t = obs_reg.sum(axis=0)
-        new = (~has_pt) & (counts_t >= cfg.min_track_views) & active[f]
+        new = (
+            (~has_pt)
+            & (counts_t >= cfg.min_track_views)
+            & active[new_frames].any(axis=0)
+        )
         nidx = np.flatnonzero(new)
         if len(nidx) > 0:
             # View axis restricted to the registered frames, padded to a
@@ -515,14 +587,17 @@ def run_incremental(
                 pn_all[reg_i][:, nidx].transpose(1, 0, 2)
             )
             Rj, tj = jnp.asarray(R_r), jnp.asarray(t_r)
-            Xn = jax.vmap(
-                lambda pn_v, m: triangulate.triangulate_linear(Rj, tj, pn_v, m)
-            )(jnp.asarray(pn_sel), jnp.asarray(mask))
-            # Cheirality screen: every observing view must see z > 0.
-            z = jax.vmap(lambda Xq: triangulate.depths(Rj, tj, Xq))(Xn)
-            good = np.array(
-                jnp.sum((z > 0) * mask, axis=1) >= jnp.sum(mask, axis=1)
-            )
+            with _T("triangulate"):
+                Xn = jax.vmap(
+                    lambda pn_v, m: triangulate.triangulate_linear(
+                        Rj, tj, pn_v, m
+                    )
+                )(jnp.asarray(pn_sel), jnp.asarray(mask))
+                # Cheirality screen: every observing view must see z > 0.
+                z = jax.vmap(lambda Xq: triangulate.depths(Rj, tj, Xq))(Xn)
+                good = np.array(
+                    jnp.sum((z > 0) * mask, axis=1) >= jnp.sum(mask, axis=1)
+                )
             good[: len(nidx)] &= mask[: len(nidx)].sum(axis=1) >= 2
             good[len(nidx):] = False
             # Parallax gate: reject depth-ill-conditioned triangulations.
@@ -536,19 +611,29 @@ def run_incremental(
             X[nidx[sel_rows]] = Xn_np[sel_rows]
             has_pt[nidx[sel_rows]] = True
 
-        windowed_ba()
-        return True
-
     remaining = [f for f in range(F) if not registered[f]]
-    progress = True
-    while progress and remaining:
-        progress = False
-        # Next-best-view: most usable 2D-3D correspondences first.
-        remaining.sort(key=lambda f: -(int((active[f] & has_pt).sum())))
-        for f in list(remaining):
-            if try_register(f):
-                remaining.remove(f)
-                progress = True
+    failed: set = set()
+    while True:
+        # Next-best-view: most usable 2D-3D correspondences first; frames
+        # that failed since the last map improvement wait for the next one.
+        cand = [
+            f for f in remaining
+            if f not in failed
+            and int((active[f] & has_pt).sum()) >= cfg.min_pnp_points
+        ]
+        if not cand:
+            break
+        cand.sort(key=lambda f: -(int((active[f] & has_pt).sum())))
+        batch = cand[: max(1, cfg.register_batch)]
+        newly = resect_frames(batch)
+        if not newly:
+            failed.update(batch)
+            continue
+        failed.clear()  # the map is about to improve — failures retry
+        for f in newly:
+            remaining.remove(f)
+        triangulate_new(newly)
+        windowed_ba()
 
     windowed_ba(final=True)
     obs_w = (
@@ -563,6 +648,10 @@ def run_incremental(
         robust=cfg.robust, robust_scale=cfg.robust_scale,
         cam_fixed=fixed, obs_w=obs_w,
     )
+    timings["host_other"] = (
+        _time.perf_counter() - _t_run0 - sum(timings.values())
+    )
+    stats["timings_s"] = {k: round(v, 3) for k, v in timings.items()}
     return Reconstruction(
         problem=prob, registered=registered, has_point=has_pt, stats=stats
     )
