@@ -204,6 +204,11 @@ def shard_cm_problem(
                 u=u_s[k, :n_real], v=v_s[k, :n_real], w=w_s[k, :n_real],
             )
         )
+    # max_run is a STATIC field (part of the pytree structure): unify it
+    # across shards so the stacked tree has one treedef and every chip
+    # compiles the same scan schedule.
+    mr = max(g.max_run for g in per_shard)
+    per_shard = [g.replace(max_run=mr) for g in per_shard]
     sgops = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *per_shard
     )

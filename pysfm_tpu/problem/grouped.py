@@ -74,6 +74,12 @@ class GroupedMeta(NamedTuple):
     wfill_rows: np.ndarray   # [NB] int32 bitmap over the 16 chunk slices:
                              #   bit j set if any lpt in the block is in
                              #   [128 j, 128 j + 128)
+    route_rows: np.ndarray   # [NB] int32 bitmap: bit v set if chunk slice
+                             #   v receives any VALID run end from this
+                             #   block (kernels skip dead slices)
+    max_run: int             # longest per-block point run (<= max track
+                             #   length); bounds the segmented-scan shift
+                             #   schedule in the kernels
     group_first: np.ndarray  # [NB] int32 1 if block is the first of its
                              #   camera group
     cell_mask: np.ndarray    # [G, NCH] float32 1.0 if the (group, chunk)
@@ -189,6 +195,29 @@ def build_grouped(
     for j in range(PCH // CGRP):
         wfill_rows |= (((sl == j) & v_blocks).any(axis=1) << j)
 
+    # route_rows bitmap [NB]: which chunk slices receive a valid run end.
+    route_live = (
+        seg_end_pos.reshape(NB, PCH // CGRP, CGRP) < BLK
+    ).any(axis=2)
+    route_rows = np.zeros(NB, np.int32)
+    for v in range(PCH // CGRP):
+        route_rows |= route_live[:, v].astype(np.int32) << v
+
+    # Longest VALID point run — the static bound for the kernels' scan
+    # shift schedule.  Pad runs (zero values, never routed) are excluded:
+    # an under-scanned pad run cannot corrupt routed sums (its run end is
+    # not routed and its row-tail carry is a sum of zeros).
+    ss_flat = seg_start.reshape(-1)
+    start_pos = np.flatnonzero(ss_flat)
+    if len(start_pos):
+        lengths = np.diff(np.append(start_pos, NB * BLK))
+        valid_runs = vb[start_pos]
+        max_run = (
+            int(lengths[valid_runs].max()) if valid_runs.any() else 1
+        )
+    else:
+        max_run = BLK
+
     group_first = np.ones(NB, np.int32)
     group_first[1:] = (block_group[1:] != block_group[:-1]).astype(np.int32)
     cell_mask = np.zeros((G, NCH), np.float32)
@@ -208,6 +237,8 @@ def build_grouped(
         seg_end_pos=seg_end_pos.reshape(NB, PCH // CGRP, CGRP),
         expand_rows=expand_rows,
         wfill_rows=wfill_rows,
+        route_rows=route_rows,
+        max_run=max_run,
         group_first=group_first,
         cell_mask=cell_mask,
         group_mask=group_mask,
@@ -263,6 +294,9 @@ def _append_pad_blocks(meta: GroupedMeta, nb_target: int) -> GroupedMeta:
         ),
         wfill_rows=np.concatenate(
             [meta.wfill_rows, np.zeros(extra, np.int32)]
+        ),
+        route_rows=np.concatenate(
+            [meta.route_rows, np.zeros(extra, np.int32)]
         ),
         group_first=np.concatenate(
             [meta.group_first, np.zeros(extra, np.int32)]

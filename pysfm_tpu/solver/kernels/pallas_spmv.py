@@ -58,6 +58,8 @@ class GroupedOps:
     block_chunk: jnp.ndarray  # [NB] i32
     cell_first: jnp.ndarray   # [NB] i32
     group_first: jnp.ndarray  # [NB] i32
+    route: jnp.ndarray        # [NB] i32 bitmap: chunk slices receiving a
+                              #   valid run end (dead slices are skipped)
     cell_mask: jnp.ndarray    # [G, NCH] f32
     group_mask: jnp.ndarray   # [G] f32
     order: jnp.ndarray        # [NB*BLK] i32 (into the point-sorted obs)
@@ -65,6 +67,10 @@ class GroupedOps:
     gu: jnp.ndarray           # [NB, SUB, CGRP] f32 measured u
     gv: jnp.ndarray           # [NB, SUB, CGRP] f32 measured v
     gw: jnp.ndarray           # [NB, SUB, CGRP] f32 confidence weight
+    # Longest valid point run — static bound for the segmented-scan shift
+    # schedule (runs <= 2^k need only shifts 1..2^(k-1) and, when
+    # <= CGRP, a single cross-row carry instead of a sublane scan).
+    max_run: int = struct.field(pytree_node=False, default=BLK)
 
     @property
     def n_blocks(self) -> int:
@@ -109,12 +115,14 @@ def device_grouped(
         block_chunk=jnp.asarray(meta.block_chunk),
         cell_first=jnp.asarray(meta.cell_first),
         group_first=jnp.asarray(meta.group_first),
+        route=jnp.asarray(meta.route_rows),
         cell_mask=jnp.asarray(meta.cell_mask),
         group_mask=jnp.asarray(meta.group_mask),
         order=jnp.asarray(meta.order),
         gu=perm(u),
         gv=perm(v),
         gw=perm(w),
+        max_run=int(meta.max_run),
     )
 
 
@@ -143,54 +151,84 @@ def permute_b_rows(B_cm: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _seg_scan_route(qrows, f0, posm):
-    """Per-point segmented sums of per-observation rows, routed to chunk
-    slots: qrows is a list of [SUB, CGRP] values (points sorted within the
-    block, run starts flagged by ``f0``); ``posm`` [NSL, CGRP] holds the
-    flat in-block position (0..BLK-1) of the run end feeding each chunk
-    slot (BLK = none).  Returns [len(qrows), PCH].
+def _scan_shifts(max_run: int):
+    """Lane-shift schedule covering runs of ``max_run`` slots: after
+    shifts 1, 2, ..., 2^(k-1) every lane has accumulated a prefix of
+    length 2^k >= max_run."""
+    shifts = []
+    sh = 1
+    while sh < min(max_run, CGRP):
+        shifts.append(sh)
+        sh *= 2
+    return tuple(shifts) or (1,)
 
-    Segmented inclusive scan in row-major (serpentine) obs order: 7 lane
-    steps, then the cross-row carry.  Rolled-in slots beyond the boundary
-    contribute value 0 and flag 0: rv is value-masked, and a masked-in
-    flag of 1 would corrupt the windowed-OR F that gates the cross-row
-    carry."""
+
+def _seg_scan(qrows, f0, max_run: int = BLK):
+    """Segmented inclusive scan of per-observation rows in row-major obs
+    order (points sorted within the block, run starts flagged by ``f0``);
+    returns the scanned rows (same shapes).
+
+    Rolled-in slots beyond the boundary contribute value 0 and flag 0:
+    rv is value-masked, and a masked-in flag of 1 would corrupt the
+    windowed-OR F that gates the cross-row carry.  ``max_run`` (static,
+    the longest VALID run in the stream) bounds the shift schedule: BA
+    track lengths are <= max_track (~12), so 4 lane shifts replace the
+    generic 7, and a run spans at most one row boundary so a single
+    cross-row carry replaces the 3-step sublane scan.  Pad runs may be
+    longer; their values are zero and their ends are never routed, so
+    under-scanning them is harmless (problem/grouped.py max_run note)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, CGRP), 1)
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
-    rows = []
+    shifts = _scan_shifts(max_run)
+    outs = []
     for q in qrows:
         v, F = q, f0
-        for sh in (1, 2, 4, 8, 16, 32, 64):
+        for sh in shifts:
             rv = jnp.where(lane >= sh, pltpu.roll(v, sh, 1), 0.0)
             rF = jnp.where(lane >= sh, pltpu.roll(F, sh, 1), 0.0)
             v = v + rv * (1.0 - F)
             F = jnp.maximum(F, rF)
         rowv = v[:, CGRP - 1:CGRP]                   # [SUB, 1]
-        rowF = F[:, CGRP - 1:CGRP]
-        for sh in (1, 2, 4):
-            rv = jnp.where(sub1 >= sh, pltpu.roll(rowv, sh, 0), 0.0)
-            rf = jnp.where(sub1 >= sh, pltpu.roll(rowF, sh, 0), 0.0)
-            rowv = rowv + rv * (1.0 - rowF)
-            rowF = jnp.maximum(rowF, rf)
+        if max_run > CGRP:
+            rowF = F[:, CGRP - 1:CGRP]
+            for sh in (1, 2, 4):
+                rv = jnp.where(sub1 >= sh, pltpu.roll(rowv, sh, 0), 0.0)
+                rf = jnp.where(sub1 >= sh, pltpu.roll(rowF, sh, 0), 0.0)
+                rowv = rowv + rv * (1.0 - rowF)
+                rowF = jnp.maximum(rowF, rf)
         carry = jnp.where(sub1 >= 1, pltpu.roll(rowv, 1, 0), 0.0)
-        v = v + carry * (1.0 - F)
-        # Rank expansion: route each (valid) run-end value to its chunk
-        # slot.  pos encodes the flat in-block position (BLK = none).
-        # Concatenate full [SUB, 128] tiles (uniform vreg layouts — Mosaic
-        # cannot concatenate row-slices with mismatched sublane offsets)
-        # and collapse the identical rows with one reduce at the end.
-        pieces = []
-        for vv in range(NSL):
+        outs.append(v + carry * (1.0 - F))
+    return outs
+
+
+def _route_to_ref(o_ref, row0, vrows, posm, rt_bits):
+    """Rank-expand scanned rows into their chunk-window slices, writing
+    ONLY the slices that receive a valid run end (``rt_bits`` bitmap,
+    scalar-prefetched): with sorted points a 1024-obs block spans ~2-4 of
+    the 16 slices, so the dead-slice work — and the full-window
+    read-modify-write the old implementation paid every block — is
+    skipped.  ``o_ref`` block is [1, R, PCH]; rows are written at
+    ``row0..row0+len(vrows)``."""
+    n = len(vrows)
+    for vv in range(NSL):
+        @pl.when(((rt_bits >> vv) & 1) == 1)
+        def _(vv=vv):
             pos1 = posm[vv:vv + 1]                   # [1, CGRP]
             pos8 = jnp.broadcast_to(pos1, (SUB, CGRP))
             lanei = jnp.where(pos8 < BLK, pos8 & (CGRP - 1), 0)
             subi = jnp.clip(pos8 >> 7, 0, SUB - 1)
-            g1 = _take1(v, lanei)                    # [SUB, CGRP]
-            g2 = jnp.take_along_axis(g1, subi, axis=0)
-            pieces.append(jnp.where(pos8 < BLK, g2, 0.0))
-        exp8 = jnp.concatenate(pieces, axis=1)       # [SUB, PCH], rows ==
-        rows.append(jnp.max(exp8, axis=0, keepdims=True))
-    return jnp.concatenate(rows, axis=0)             # [len(qrows), PCH]
+            pieces = []
+            for v in vrows:
+                g1 = _take1(v, lanei)                # [SUB, CGRP]
+                g2 = jnp.take_along_axis(g1, subi, axis=0)
+                val = jnp.where(pos8 < BLK, g2, 0.0)
+                # rows of val are identical by construction; collapse.
+                pieces.append(jnp.max(val, axis=0, keepdims=True))
+            add = jnp.concatenate(pieces, axis=0)    # [n, CGRP]
+            sl = slice(vv * CGRP, (vv + 1) * CGRP)
+            o_ref[0, row0:row0 + n, sl] = (
+                o_ref[0, row0:row0 + n, sl] + add
+            )
 
 
 def _onehot_cam_reduce(rows, lc):
@@ -216,7 +254,8 @@ def _onehot_cam_reduce(rows, lc):
     return Y
 
 
-def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
+def _ka_kernel(cp, max_run, bg, bc, cf, rt, x_ref, b_ref, lc_ref, ss_ref,
+               se_ref, o_ref):
     b = pl.program_id(0)
     lc = lc_ref[0]                                   # [SUB, CGRP] i32
     xg = [_take1(x_ref[d], lc) for d in range(cp)]   # cp lane-gathers
@@ -231,7 +270,8 @@ def _ka_kernel(cp, bg, bc, cf, x_ref, b_ref, lc_ref, ss_ref, se_ref, o_ref):
         for d in range(1, cp):
             q = q + b_ref[s * cp + d, 0] * xg[d]
         qrows.append(q)
-    o_ref[0] = o_ref[0] + _seg_scan_route(qrows, ss_ref[0], se_ref[0])
+    vrows = _seg_scan(qrows, ss_ref[0], max_run)
+    _route_to_ref(o_ref, 0, vrows, se_ref[0], rt[b])
 
 
 def _auto_interpret() -> bool:
@@ -263,33 +303,34 @@ def hcpT_x_grouped(
     xrep = jax.lax.optimization_barrier(xrep)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((cp, SUB, CGRP), lambda b, bg, bc, cf: (0, 0, bg[b]),
+            pl.BlockSpec((cp, SUB, CGRP),
+                         lambda b, bg, bc, cf, rt: (0, 0, bg[b]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * cp, 1, SUB, CGRP),
-                         lambda b, bg, bc, cf: (0, b, 0, 0),
+                         lambda b, bg, bc, cf, rt: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf, rt: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+            pl.BlockSpec((1, SUB, CGRP), lambda b, bg, bc, cf, rt: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NSL, CGRP), lambda b, bg, bc, cf: (b, 0, 0),
+            pl.BlockSpec((1, NSL, CGRP), lambda b, bg, bc, cf, rt: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, PCH), lambda b, bg, bc, cf: (bg[b], 0, bc[b]),
+            (1, 3, PCH), lambda b, bg, bc, cf, rt: (bg[b], 0, bc[b]),
             memory_space=pltpu.VMEM,
         ),
     )
     upart = pl.pallas_call(
-        partial(_ka_kernel, cp),
+        partial(_ka_kernel, cp, ops.max_run),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, 3, NCH * PCH), jnp.float32),
         interpret=interpret,
     )(
-        ops.block_group, ops.block_chunk, ops.cell_first,
+        ops.block_group, ops.block_chunk, ops.cell_first, ops.route,
         xrep, ops.b_rows, ops.lcam, ops.seg_start, ops.seg_end_pos,
     )
     # Kill garbage in never-visited (group, chunk) windows, sum groups.
@@ -501,8 +542,8 @@ def payload_b_grouped(
 # ---------------------------------------------------------------------------
 
 
-def _ke_kernel(cp, dc_rows, model, robust, bg, bc, cf, gf, rs_ref,
-               ct_ref, x3_ref, lc_ref, lp_ref, u_ref, v_ref, w_ref,
+def _ke_kernel(cp, dc_rows, model, robust, max_run, bg, bc, cf, gf, rt,
+               rs_ref, ct_ref, x3_ref, lc_ref, lp_ref, u_ref, v_ref, w_ref,
                ss_ref, se_ref, ob_ref, ocam_ref, opt_ref):
     from pysfm_tpu.problem import cm as cm_mod
     from pysfm_tpu.problem import robust as robust_mod
@@ -554,7 +595,8 @@ def _ke_kernel(cp, dc_rows, model, robust, bg, bc, cf, gf, rs_ref,
     def _():
         opt_ref[0] = jnp.zeros((9, PCH), jnp.float32)
 
-    opt_ref[0] = opt_ref[0] + _seg_scan_route(pt_rows, ss_ref[0], se_ref[0])
+    vrows = _seg_scan(pt_rows, ss_ref[0], max_run)
+    _route_to_ref(opt_ref, 0, vrows, se_ref[0], rt[b])
 
 
 @partial(jax.jit, static_argnames=(
@@ -604,50 +646,50 @@ def build_eqs_grouped(
     rc = n_tri + cp
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(NB,),
         in_specs=[
             pl.BlockSpec((Dc, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (0, 0, bg[b]),
+                         lambda b, bg, bc, cf, gf, rt, rs: (0, 0, bg[b]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, PCH), lambda b, bg, bc, cf, gf, rs: (0, bc[b]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+            pl.BlockSpec((3, PCH), lambda b, bg, bc, cf, gf, rt, rs: (0, bc[b]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, CGRP),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSL, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((3 * cp, 1, SUB, CGRP),
-                         lambda b, bg, bc, cf, gf, rs: (0, b, 0, 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CGRP, rc),
-                         lambda b, bg, bc, cf, gf, rs: (bg[b], 0),
+                         lambda b, bg, bc, cf, gf, rt, rs: (bg[b], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, PCH),
-                         lambda b, bg, bc, cf, gf, rs: (bg[b], 0, bc[b]),
+                         lambda b, bg, bc, cf, gf, rt, rs: (bg[b], 0, bc[b]),
                          memory_space=pltpu.VMEM),
         ),
     )
     b_rows, camT, ptp = pl.pallas_call(
-        partial(_ke_kernel, cp, Dc, model, robust),
+        partial(_ke_kernel, cp, Dc, model, robust, ops.max_run),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((3 * cp, NB, SUB, CGRP), jnp.float32),
@@ -657,8 +699,8 @@ def build_eqs_grouped(
         interpret=interpret,
     )(
         ops.block_group, ops.block_chunk, ops.cell_first, ops.group_first,
-        rs, ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv, ops.gw,
-        ops.seg_start, ops.seg_end_pos,
+        ops.route, rs, ct_rep, x3_p, ops.lcam, ops.lpt, ops.gu, ops.gv,
+        ops.gw, ops.seg_start, ops.seg_end_pos,
     )
     # Camera side: mask never-visited groups, unpack symmetric blocks.
     gm = jnp.repeat(ops.group_mask, CGRP)[:, None]            # [G*128, 1]
