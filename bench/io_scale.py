@@ -51,7 +51,8 @@ def main():
     # 1. Synthesize a BAL-convention scene and write it as a BAL text file.
     sc = synthetic.make_bal_scene(
         args.cams, args.points, mean_track=5.0, max_track=12, noise_px=0.5,
-        seed=4, dtype=np.float32, with_truth=False, layout="std",
+        camera_model="bal", seed=4, dtype=np.float32, with_truth=False,
+        layout="std",
     )
     tmpdir = tempfile.mkdtemp(prefix="pysfm_io_scale_")
     bal_path = os.path.join(tmpdir, "scene.bal")

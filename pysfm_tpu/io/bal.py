@@ -110,10 +110,22 @@ def save_bal(path: str, problem: BundleProblem) -> None:
         raise ValueError(
             f"save_bal requires camera_model='bal', got {problem.camera_model!r}"
         )
+    import jax
     import jax.numpy as jnp
 
     R = np.asarray(problem.R, dtype=np.float64)
-    w = np.asarray(so3.log(jnp.asarray(R)))
+    # Rodrigues conversion on the host CPU backend when available: a tiny
+    # op, but dispatching it through a tunneled TPU runtime ties file I/O
+    # to tunnel health (observed multi-minute latency spikes).
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            w = np.asarray(so3.log(jnp.asarray(R)))
+    else:
+        w = np.asarray(so3.log(jnp.asarray(R)))
     t = np.asarray(problem.t, dtype=np.float64)
     intr = np.asarray(problem.intr, dtype=np.float64)
     X = np.asarray(problem.X, dtype=np.float64)

@@ -199,7 +199,12 @@ def make_bal_scene(
     dw[0] = 0.0
     dt = rng.normal(scale=perturb_trans, size=(n_cameras, 3))
     dt[0] = 0.0
-    R_pert = np.asarray(so3.exp(jnp.asarray(dw))) @ R
+    # Perturbation on the host CPU backend too: this is a tiny op, but
+    # dispatching it to the tunneled TPU makes scene generation depend on
+    # tunnel health (observed: an indefinite hang right here while the
+    # remote worker was recovering).
+    with ctx:
+        R_pert = np.asarray(so3.exp(jnp.asarray(dw))) @ R
     t_pert = t + dt
     X_pert = X + rng.normal(scale=perturb_point, size=X.shape)
     problem = _builder(
