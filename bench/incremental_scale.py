@@ -94,6 +94,7 @@ def main():
         "ba_ms_first_quarter": round(1e3 * first_q, 1),
         "ba_ms_last_quarter": round(1e3 * last_q, 1),
         "ba_ms_per_call": [round(1e3 * t, 1) for t in ba_times],
+        "stage_timings_s": rec.stats.get("timings_s", {}),
     }
     print(json.dumps(out))
 

@@ -421,7 +421,7 @@ def run_incremental(
         fl, tl = np.nonzero(sub_vis)
         nm = len(fl)
 
-        Cs = _pad_count(nc, 8)
+        Cs = _pow2_bucket(nc, 8)
         Ps = _pow2_bucket(np_, 128)
         Ms = _pow2_bucket(nm, 512)
         # Table buckets (>= actual maxima; make_problem validates).
@@ -521,9 +521,15 @@ def run_incremental(
         poses are independent of acceptance order; returns the accepted
         subset."""
         nonlocal key
-        B = len(frames)
+        # Static shapes: the batch axis is ALWAYS register_batch (short
+        # batches padded with zero-weight dummy rows) and the point axis
+        # a power-of-two bucket, so the whole reconstruction compiles ONE
+        # PnP executable per O(log n) bucket instead of one per distinct
+        # (batch, n_points) pair — through a tunneled runtime each compile
+        # costs seconds while a cached dispatch costs ~10 ms.
+        B = max(1, cfg.register_batch)
         n_uses = [int((active[f] & has_pt).sum()) for f in frames]
-        npad = _pad_count(max(n_uses))
+        npad = _pow2_bucket(max(n_uses), 128)
         Xps = np.tile(np.array([0.0, 0.0, 10.0]), (B, npad, 1))
         pns = np.zeros((B, npad, 2))
         wps = np.zeros((B, npad))
@@ -533,6 +539,15 @@ def run_incremental(
             Xps[k, : len(uidx)] = X[uidx]
             pns[k, : len(uidx)] = pn_all[f, uidx]
             wps[k, : len(uidx)] = 1.0
+        # Pad batch rows (short final batches) duplicate the first real
+        # frame: an all-zero weight row makes the RANSAC sampling
+        # distribution w/sum(w) NaN, which under x64 poisoned the whole
+        # vmapped dispatch (frames resected in the same batch came back
+        # with 0 inliers).  Duplicate results are simply discarded.
+        for k in range(len(frames), B):
+            Xps[k] = Xps[0]
+            pns[k] = pns[0]
+            wps[k] = wps[0]
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
         with _T("pnp"):
@@ -544,7 +559,7 @@ def run_incremental(
             Rb, tb = np.asarray(Rb), np.asarray(tb)
             inlb = np.asarray(inlb) & (wps > 0)
         newly = []
-        for k, f in enumerate(frames):
+        for k, f in enumerate(frames[:B]):
             n_inl = int(inlb[k].sum())
             stats["pnp_inliers"].append(n_inl)
             if n_inl < cfg.min_pnp_points:
@@ -574,12 +589,12 @@ def run_incremental(
             # bucket of 8 — device triangulation work stays O(registered),
             # and the executable recompiles only when the bucket grows.
             reg_i = np.flatnonzero(registered)
-            Fr = _pad_count(len(reg_i), 8)
+            Fr = _pow2_bucket(len(reg_i), 8)
             R_r = np.tile(np.eye(3), (Fr, 1, 1))
             t_r = np.zeros((Fr, 3))
             R_r[: len(reg_i)] = R[reg_i]
             t_r[: len(reg_i)] = t[reg_i]
-            npadt = _pad_count(len(nidx), 16)
+            npadt = _pow2_bucket(len(nidx), 64)
             mask = np.zeros((npadt, Fr))
             pn_sel = np.zeros((npadt, Fr, 2))
             mask[: len(nidx), : len(reg_i)] = obs_reg[reg_i][:, nidx].T
