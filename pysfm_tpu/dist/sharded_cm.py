@@ -249,6 +249,13 @@ def _strip(x):
     return x[0]
 
 
+# Jitted shard_map callables cached per (mesh, config, model, robust,
+# gops-structure): rebuilding jax.jit(run) per call would discard the
+# compile cache and recompile the whole distributed solve every
+# invocation (measured 7x on repeated solves).
+_FN_CACHE: dict = {}
+
+
 def solve_sharded_cm(
     scm: ShardedCMProblem,
     sgops,
@@ -263,6 +270,16 @@ def solve_sharded_cm(
     grouped Pallas kernels (the flagship path); ``sgops=None`` runs the
     obs-chunked XLA build with table matvecs (dtype-preserving — used for
     f64 equality tests)."""
+    key = (
+        mesh, config, scm.camera_model, scm.robust,
+        None if sgops is None else sgops.max_run,
+        None if lam_init is None else float(lam_init),
+        None if nu_init is None else float(nu_init),
+    )
+    cached = _FN_CACHE.get(key)
+    if cached is not None:
+        args = (scm,) if sgops is None else (scm, sgops)
+        return cached(*args)
     repl = ShardedCMProblem(
         R=P(), t=P(), intr=P(), cam_fixed=P(), robust_scale=P(),
         X3=P(AXIS), pt_mask=P(AXIS),
@@ -315,8 +332,10 @@ def solve_sharded_cm(
         )
         return out, stats
 
+    fn = jax.jit(run)
+    _FN_CACHE[key] = fn
     args = (scm,) if sgops is None else (scm, sgops)
-    return jax.jit(run, static_argnames=())(*args)
+    return fn(*args)
 
 
 def unshard_cm(scm: ShardedCMProblem, template: cm_mod.CMProblem):
