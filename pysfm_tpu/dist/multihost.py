@@ -88,20 +88,12 @@ def global_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (AXIS,))
 
 
-def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
-    """Build the globally point-sharded problem across hosts.
-
-    Every host runs the same deterministic global partition
-    (:func:`shard_problem` over ``n_total_shards`` = global device count)
-    but only uploads the shards owned by its local devices; the global
-    jax.Arrays are assembled from single-device buffers so no host ever
-    materializes another host's points on device.
-    """
-    n = mesh.devices.size
-    sp = shard_problem(p, n)  # host-side global partition (NumPy)
+def _putters(mesh: Mesh):
+    """(put_sharded, put_repl) building global jax.Arrays from the buffers
+    owned by THIS process's devices — no host ever materializes another
+    host's shards on device."""
     shard_sharding = NamedSharding(mesh, P(AXIS))
     repl_sharding = NamedSharding(mesh, P())
-
     local = set(jax.local_devices())
 
     def put_sharded(x):
@@ -117,10 +109,58 @@ def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
 
     def put_repl(x):
         x = np.asarray(x)
-        bufs = [jax.device_put(x, d) for d in mesh.devices.ravel() if d in local]
+        bufs = [
+            jax.device_put(x, d) for d in mesh.devices.ravel() if d in local
+        ]
         return jax.make_array_from_single_device_arrays(
             x.shape, repl_sharding, bufs
         )
+
+    return put_sharded, put_repl
+
+
+def shard_cm_problem_multihost(cmp, mesh: Mesh, with_grouped: bool = True):
+    """Build the globally point-sharded COMPONENT-MAJOR problem (the
+    BAL-scale flagship layout) across hosts: the same deterministic
+    global partition as :func:`pysfm_tpu.dist.sharded_cm.shard_cm_problem`
+    over all chips in the pod slice, assembled from per-host buffers.
+    Returns ``(ShardedCMProblem, sharded GroupedOps | None)`` ready for
+    :func:`pysfm_tpu.dist.solve_sharded_cm` on ``mesh``."""
+    from pysfm_tpu.dist.sharded_cm import shard_cm_problem
+
+    n = mesh.devices.size
+    scm, sgops = shard_cm_problem(cmp, n, with_grouped=with_grouped)
+    put_sharded, put_repl = _putters(mesh)
+    scm = scm.replace(
+        R=put_repl(scm.R), t=put_repl(scm.t), intr=put_repl(scm.intr),
+        cam_fixed=put_repl(scm.cam_fixed),
+        robust_scale=put_repl(scm.robust_scale),
+        X3=put_sharded(scm.X3), pt_mask=put_sharded(scm.pt_mask),
+        obs_cam=put_sharded(scm.obs_cam), obs_pt=put_sharded(scm.obs_pt),
+        u=put_sharded(scm.u), v=put_sharded(scm.v),
+        obs_w=put_sharded(scm.obs_w),
+        pt_obsT=put_sharded(scm.pt_obsT),
+        pt_obs_maskT=put_sharded(scm.pt_obs_maskT),
+        cam_obs=put_sharded(scm.cam_obs),
+        cam_obs_mask=put_sharded(scm.cam_obs_mask),
+    )
+    if sgops is not None:
+        sgops = jax.tree_util.tree_map(put_sharded, sgops)
+    return scm, sgops
+
+
+def shard_problem_multihost(p: BundleProblem, mesh: Mesh) -> ShardedProblem:
+    """Build the globally point-sharded problem across hosts.
+
+    Every host runs the same deterministic global partition
+    (:func:`shard_problem` over ``n_total_shards`` = global device count)
+    but only uploads the shards owned by its local devices; the global
+    jax.Arrays are assembled from single-device buffers so no host ever
+    materializes another host's points on device.
+    """
+    n = mesh.devices.size
+    sp = shard_problem(p, n)  # host-side global partition (NumPy)
+    put_sharded, put_repl = _putters(mesh)
 
     return sp.replace(
         R=put_repl(sp.R), t=put_repl(sp.t), intr=put_repl(sp.intr),

@@ -60,4 +60,20 @@ solved, stats = dist.solve_sharded(sp, mesh, cfg)
 # stats are fully replicated -> addressable on every process.
 costs = np.asarray(jax.device_get(stats.costs))
 np.save(out_path, costs)
+
+# Flagship layout across hosts: the component-major + PCG path
+# (dist/sharded_cm.py) over the same global mesh — SURVEY §2 P4
+# ("map blocks partitioned across hosts", same solver as one chip).
+from pysfm_tpu.problem import cm  # noqa: E402
+
+cmp = cm.from_problem(sc.problem)
+cfg_pcg = LMConfig(
+    max_iters=10, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+    solver="pcg", cg_iters=30, cg_tol=1e-10,
+)
+scm, _ = multihost.shard_cm_problem_multihost(
+    cmp, mesh, with_grouped=False
+)
+out_cm, stats_cm = dist.solve_sharded_cm(scm, None, mesh, cfg_pcg)
+np.save(out_path + ".cm.npy", np.asarray(jax.device_get(stats_cm.costs)))
 jax.distributed.shutdown()

@@ -59,6 +59,19 @@ def test_two_process_solve_matches_single(tmp_path):
         got = np.load(path)
         np.testing.assert_allclose(got, ref, rtol=1e-9)
 
+    # Flagship CM/PCG path across the 2 processes == single-process CM.
+    from pysfm_tpu.problem import cm
+
+    cfg_pcg = LMConfig(
+        max_iters=10, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=30, cg_tol=1e-10,
+    )
+    _, stats_cm1 = solve(cm.from_problem(sc.problem), cfg_pcg)
+    ref_cm = np.asarray(stats_cm1.costs)
+    for path in outs:
+        got = np.load(path + ".cm.npy")
+        np.testing.assert_allclose(got, ref_cm, rtol=1e-8)
+
 
 def test_initialize_rejects_partial_config(monkeypatch):
     """A half-configured pod launch must fail loudly, not silently degrade
