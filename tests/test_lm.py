@@ -151,3 +151,25 @@ def test_solve_segmented_matches_monolithic():
     np.testing.assert_allclose(
         np.asarray(st_seg.lams), np.asarray(st_mono.lams), rtol=1e-14
     )
+
+
+def test_trace_capture_smoke(tmp_path):
+    """utils.trace writes a loadable trace of a dispatched solve."""
+    import os
+
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.utils import trace
+
+    sc = synthetic.make_scene(3, 50, noise_px=0.3, seed=2,
+                              dtype=np.float32)
+    d = str(tmp_path / "trace")
+    with trace.capture(d):
+        with trace.annotate("solve_region"):
+            solve(sc.problem, LMConfig(max_iters=2))
+    found = []
+    for root, _, files in os.walk(d):
+        found += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                  ".trace.json.gz"))]
+    assert found, f"no trace events written under {d}"
