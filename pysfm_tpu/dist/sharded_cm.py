@@ -270,15 +270,18 @@ def solve_sharded_cm(
     grouped Pallas kernels (the flagship path); ``sgops=None`` runs the
     obs-chunked XLA build with table matvecs (dtype-preserving — used for
     f64 equality tests)."""
+    dtype = scm.X3.dtype
+    lam0 = jnp.asarray(
+        config.lam0 if lam_init is None else lam_init, dtype
+    )
+    nu0 = jnp.asarray(2.0 if nu_init is None else nu_init, dtype)
     key = (
         mesh, config, scm.camera_model, scm.robust,
         None if sgops is None else sgops.max_run,
-        None if lam_init is None else float(lam_init),
-        None if nu_init is None else float(nu_init),
     )
     cached = _FN_CACHE.get(key)
     if cached is not None:
-        args = (scm,) if sgops is None else (scm, sgops)
+        args = (scm, lam0, nu0) if sgops is None else (scm, lam0, nu0, sgops)
         return cached(*args)
     repl = ShardedCMProblem(
         R=P(), t=P(), intr=P(), cam_fixed=P(), robust_scale=P(),
@@ -298,14 +301,18 @@ def solve_sharded_cm(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
         n_iters=P(), lam_next=P(), nu_next=P(),
     )
-    in_specs = (repl,) if sgops is None else (repl, gops_spec)
+    in_specs = (
+        (repl, P(), P())
+        if sgops is None
+        else (repl, P(), P(), gops_spec)
+    )
     out_specs = (repl, stats_spec)
 
     @partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    def run(scm_l: ShardedCMProblem, *maybe_gops):
+    def run(scm_l: ShardedCMProblem, lam_a, nu_a, *maybe_gops):
         gl = None
         if maybe_gops:
             gl = jax.tree_util.tree_map(_strip, maybe_gops[0])
@@ -324,7 +331,7 @@ def solve_sharded_cm(
             camera_model=scm_l.camera_model, robust=scm_l.robust,
         )
         solved, stats = cm_lm_loop(
-            lp, config, lam_init, nu_init, gops=gl, axis_name=AXIS
+            lp, config, lam_a, nu_a, gops=gl, axis_name=AXIS
         )
         out = scm_l.replace(
             R=solved.R, t=solved.t, intr=solved.intr,
@@ -334,7 +341,7 @@ def solve_sharded_cm(
 
     fn = jax.jit(run)
     _FN_CACHE[key] = fn
-    args = (scm,) if sgops is None else (scm, sgops)
+    args = (scm, lam0, nu0) if sgops is None else (scm, lam0, nu0, sgops)
     return fn(*args)
 
 
