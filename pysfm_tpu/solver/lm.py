@@ -364,6 +364,12 @@ def cm_lm_loop(
         return x if axis_name is None else jax.lax.pmax(x, axis_name)
 
     dtype = cmp.dtype
+    if gops is not None and dtype != jnp.float32:
+        # The grouped kernels compute in f32 internally; silently feeding
+        # f32-accuracy costs/gradients into an f64 problem's accept/reject
+        # would defeat the caller's precision request — run the
+        # dtype-preserving obs-chunked XLA path instead (ADVICE r3).
+        gops = None
     n_it = config.max_iters
     if gops is not None:
         # K_C: one grouped-kernel pass instead of the obs-chunked XLA map

@@ -117,3 +117,29 @@ def test_solve_cm_matches_bundle_entry_and_dense():
     pd, std = solve(p, cfg_d)
     ref = float(std.costs[-1])
     assert abs(float(st1.costs[-1]) - ref) <= 1e-6 * ref
+
+
+def test_solve_cm_drops_gops_for_f64():
+    """An f64 CM problem with gops runs the dtype-preserving XLA path
+    (the grouped kernels are f32-internal) — costs must match the plain
+    f64 solve exactly."""
+    import numpy as np
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.solver import LMConfig
+    from pysfm_tpu.solver.lm import make_grouped_ops, solve
+
+    sc = synthetic.make_bal_scene(
+        6, 300, mean_track=4.0, max_track=8, noise_px=0.5, seed=3,
+        dtype=np.float64, with_truth=False, layout="cm",
+    )
+    cfg = LMConfig(
+        max_iters=3, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=15, cg_tol=1e-8,
+    )
+    p_ref, st_ref = solve(sc.problem, cfg)
+    gops = make_grouped_ops(sc.problem)
+    p_k, st_k = solve(sc.problem, cfg, gops=gops)
+    np.testing.assert_array_equal(
+        np.asarray(st_k.costs), np.asarray(st_ref.costs)
+    )
