@@ -14,9 +14,11 @@ from pysfm_tpu.io.checkpoint import (
     load_checkpoint,
     load_checkpoint_cm,
     load_checkpoint_sharded,
+    load_checkpoint_sharded_cm,
     save_checkpoint,
     save_checkpoint_cm,
     save_checkpoint_sharded,
+    save_checkpoint_sharded_cm,
 )
 
 __all__ = [
@@ -24,5 +26,6 @@ __all__ = [
     "SolverCheckpoint", "save_checkpoint", "load_checkpoint",
     "save_checkpoint_sharded", "load_checkpoint_sharded",
     "save_checkpoint_cm", "load_checkpoint_cm",
+    "save_checkpoint_sharded_cm", "load_checkpoint_sharded_cm",
     "latest_checkpoint",
 ]

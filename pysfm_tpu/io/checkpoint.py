@@ -284,6 +284,123 @@ def load_checkpoint_sharded(path: str):
     return sp, float(z0["lam"]), float(z0["nu"]), int(z0["iteration"])
 
 
+_CM_SHARDED_FIELDS = (
+    "X3", "pt_mask", "obs_cam", "obs_pt", "u", "v", "obs_w",
+    "pt_obsT", "pt_obs_maskT", "cam_obs", "cam_obs_mask",
+)
+_CM_REPL_FIELDS = ("R", "t", "intr", "cam_fixed", "robust_scale")
+
+
+def save_checkpoint_sharded_cm(
+    path: str,
+    scm,
+    *,
+    lam: float = 1e-3,
+    nu: float = 2.0,
+    iteration: int = 0,
+) -> str:
+    """Save a :class:`~pysfm_tpu.dist.sharded_cm.ShardedCMProblem`
+    mid-solve — the distributed-flagship analog of
+    :func:`save_checkpoint_sharded`.  Each process writes ONE part file
+    with only its addressable shards plus the replicated camera state;
+    atomic via tmp+rename.  The grouped kernel streams are NOT saved:
+    they are a pure function of (obs_cam, obs_pt) and are rebuilt with
+    :func:`pysfm_tpu.dist.shard_cm_problem` machinery on resume.
+
+    Returns the part path written by this process."""
+    import jax
+
+    proc = jax.process_index()
+    arrays = dict(
+        lam=np.asarray(lam), nu=np.asarray(nu),
+        iteration=np.asarray(iteration),
+    )
+    for name in _CM_REPL_FIELDS:
+        arrays[name] = np.asarray(getattr(scm, name))
+    starts = None
+    for name in _CM_SHARDED_FIELDS:
+        x = getattr(scm, name)
+        if hasattr(x, "addressable_shards") and x.addressable_shards:
+            ids, blocks = [], []
+            for s in x.addressable_shards:
+                sl = s.index[0] if s.index else slice(0, x.shape[0])
+                ids.append(0 if sl.start is None else int(sl.start))
+                blocks.append(np.asarray(s.data))
+            order = np.argsort(ids)
+            arrays[name] = np.concatenate(
+                [blocks[i] for i in order], axis=0
+            )
+            f_starts = np.asarray(sorted(ids))
+            f_sizes = np.asarray([blocks[i].shape[0] for i in order])
+        else:
+            arrays[name] = np.asarray(x)
+            f_starts = np.zeros(1, np.int64)
+            f_sizes = np.asarray([arrays[name].shape[0]])
+        if starts is None:
+            arrays["shard_starts"] = f_starts
+            arrays["shard_sizes"] = f_sizes
+            starts = f_starts
+        global_dim = getattr(scm, name).shape[0]
+    meta = {
+        "camera_model": scm.camera_model,
+        "robust": scm.robust,
+        "n_shards": int(global_dim),
+        "version": 1,
+        "sharded_cm": True,
+    }
+    part = f"{path}.p{proc}"
+    tmp = part + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    with open(part + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(part + ".json.tmp", part + ".json")
+    os.replace(tmp, part)
+    return part
+
+
+def load_checkpoint_sharded_cm(path: str):
+    """Reassemble a sharded CM checkpoint from all parts at ``path.p*``;
+    returns ``(ShardedCMProblem, lam, nu, iteration)`` host-resident.
+    Re-place with :func:`pysfm_tpu.dist.device_put_sharded_cm` and
+    rebuild the grouped streams before resuming the kernel path."""
+    import glob as _glob
+
+    from pysfm_tpu.dist.sharded_cm import ShardedCMProblem
+
+    parts = sorted(_glob.glob(path + ".p*"))
+    parts = [q for q in parts if not q.endswith((".json", ".tmp"))]
+    if not parts:
+        raise FileNotFoundError(f"no checkpoint parts at {path}.p*")
+    with open(parts[0] + ".json") as f:
+        meta = json.load(f)
+    if not meta.get("sharded_cm"):
+        raise ValueError(f"{path} is not a sharded CM checkpoint")
+    loaded = [np.load(q) for q in parts]
+    n = meta["n_shards"]
+    fields = {}
+    for name in _CM_REPL_FIELDS:
+        fields[name] = loaded[0][name]
+    for name in _CM_SHARDED_FIELDS:
+        out = None
+        for z in loaded:
+            starts = z["shard_starts"]
+            sizes = z["shard_sizes"]
+            arr = z[name]
+            if out is None:
+                out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+            off = 0
+            for s, sz in zip(starts, sizes):
+                out[int(s) : int(s) + int(sz)] = arr[off : off + int(sz)]
+                off += int(sz)
+        fields[name] = out
+    scm = ShardedCMProblem(
+        camera_model=meta["camera_model"], robust=meta["robust"], **fields
+    )
+    z0 = loaded[0]
+    return scm, float(z0["lam"]), float(z0["nu"]), int(z0["iteration"])
+
+
 def latest_checkpoint(directory: str, prefix: str = "ckpt") -> Optional[str]:
     """Newest complete checkpoint in ``directory`` (by iteration suffix
     ``<prefix>_<iteration>.npz``), or None."""
