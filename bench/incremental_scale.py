@@ -32,7 +32,19 @@ def main():
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--points", type=int, default=2000)
     ap.add_argument("--noise-px", type=float, default=0.5)
+    ap.add_argument("--cache-dir", type=str, default=None,
+                    help="persistent compilation cache directory (default "
+                         "~/.cache/pysfm_tpu); pass a fresh dir to measure "
+                         "the cold-first-process cost")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent compilation cache")
     args = ap.parse_args()
+
+    cache = None
+    if not args.no_cache:
+        from pysfm_tpu.utils import enable_compilation_cache
+
+        cache = enable_compilation_cache(args.cache_dir)
 
     sc = synthetic.make_scene(
         args.frames, args.points, noise_px=args.noise_px, visibility=0.35,
@@ -84,6 +96,7 @@ def main():
     last_q = float(ba_times[-max(n // 4, 1):].mean())
     out = {
         "config": "incremental_scale",
+        "compilation_cache": cache,
         "frames": F,
         "points": T,
         "registered": int(rec.registered.sum()),

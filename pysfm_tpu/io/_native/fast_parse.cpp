@@ -11,6 +11,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC fast_parse.cpp -o libpysfm_io.so
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -38,6 +39,34 @@ int64_t pysfm_parse_doubles(const char* buf, int64_t len, double* out,
     p = next;
   }
   return n;
+}
+
+// Format a BAL problem body (everything after the header line): n_obs
+// observation lines "cam pt u v\n" followed by n_vals values one per line
+// at %.17g (round-trip precision).  Returns bytes written, or -1 if cap is
+// too small.  The write-side counterpart of pysfm_parse_doubles: the pure
+// Python f-string loop measured 416 s for a 38 MB file (IO_SCALE_r04);
+// this snprintf loop runs in well under a second.
+int64_t pysfm_format_bal(const int32_t* obs_cam, const int32_t* obs_pt,
+                         const double* uv, int64_t n_obs,
+                         const double* vals, int64_t n_vals,
+                         char* out, int64_t cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t i = 0; i < n_obs; ++i) {
+    if (end - p < 80) return -1;  // worst-case line: 2 ints + 2 %.17g
+    int w = snprintf(p, end - p, "%d %d %.17g %.17g\n", obs_cam[i],
+                     obs_pt[i], uv[2 * i], uv[2 * i + 1]);
+    if (w < 0 || w >= end - p) return -1;
+    p += w;
+  }
+  for (int64_t i = 0; i < n_vals; ++i) {
+    if (end - p < 32) return -1;
+    int w = snprintf(p, end - p, "%.17g\n", vals[i]);
+    if (w < 0 || w >= end - p) return -1;
+    p += w;
+  }
+  return p - out;
 }
 
 // Count whitespace-separated tokens (for pre-sizing the output array).

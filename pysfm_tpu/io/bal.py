@@ -133,18 +133,27 @@ def save_bal(path: str, problem: BundleProblem) -> None:
     obs_pt = np.asarray(problem.obs_pt)
     uv = np.asarray(problem.obs_uv, dtype=np.float64)
 
-    buf = _io.StringIO()
-    buf.write(f"{R.shape[0]} {X.shape[0]} {obs_cam.shape[0]}\n")
-    for c, p, (u, v) in zip(obs_cam, obs_pt, uv):
-        buf.write(f"{c} {p} {u:.17g} {v:.17g}\n")
+    from pysfm_tpu.io import native
+
+    header = f"{R.shape[0]} {X.shape[0]} {obs_cam.shape[0]}\n".encode()
     cams = np.concatenate([w, t, intr], axis=-1)          # [C, 9]
-    for row in cams.reshape(-1):
-        buf.write(f"{row:.17g}\n")
-    for row in X.reshape(-1):
-        buf.write(f"{row:.17g}\n")
-    data = buf.getvalue().encode()
+    vals = np.concatenate([cams.reshape(-1), X.reshape(-1)])
+    # Native writer (fast_parse.cpp pysfm_format_bal): the per-line Python
+    # f-string loop measured 416 s for 626k observations (IO_SCALE_r04);
+    # the snprintf loop is ~3 orders faster.  Fallback: np.savetxt-style
+    # block formatting (still vectorized over lines, ~30x the loop).
+    body = native.format_bal(obs_cam, obs_pt, uv, vals)
+    if body is None:
+        buf = _io.BytesIO()
+        obs_block = np.column_stack(
+            [obs_cam.astype(np.float64), obs_pt.astype(np.float64), uv]
+        )
+        np.savetxt(buf, obs_block, fmt="%d %d %.17g %.17g")
+        np.savetxt(buf, vals[:, None], fmt="%.17g")
+        body = buf.getvalue()
     with _open(path, "wb") as f:
-        f.write(data)
+        f.write(header)
+        f.write(body)
 
 
 def make_synthetic_bal(

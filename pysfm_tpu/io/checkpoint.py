@@ -63,10 +63,13 @@ def save_checkpoint(path: str, ckpt: SolverCheckpoint) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
+    # Data first, sidecar last: the .json rename is the commit marker, so a
+    # crash between the two renames can never leave a fresh sidecar pointing
+    # at a stale or missing .npz (ADVICE r4).
+    os.replace(tmp, path)
     with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(path + ".json.tmp", path + ".json")
-    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, dtype=None) -> SolverCheckpoint:
@@ -130,10 +133,11 @@ def save_checkpoint_cm(
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
+    # npz first, .json sidecar last (the commit marker — ADVICE r4).
+    os.replace(tmp, path)
     with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(path + ".json.tmp", path + ".json")
-    os.replace(tmp, path)
 
 
 def load_checkpoint_cm(path: str):
@@ -169,6 +173,56 @@ _SHARDED_FIELDS = (
 _REPL_FIELDS = ("R", "t", "intr", "cam_fixed", "robust_scale")
 
 
+def _collect_shards(x):
+    """Gather one field's locally-addressable shards to host: returns
+    ``(concatenated array, shard starts, shard sizes)`` in start order."""
+    if hasattr(x, "addressable_shards") and x.addressable_shards:
+        ids, blocks = [], []
+        for s in x.addressable_shards:
+            sl = s.index[0] if s.index else slice(0, x.shape[0])
+            ids.append(0 if sl.start is None else int(sl.start))
+            blocks.append(np.asarray(s.data))
+        order = np.argsort(ids)
+        arr = np.concatenate([blocks[i] for i in order], axis=0)
+        starts = np.asarray(sorted(ids))
+        sizes = np.asarray([blocks[i].shape[0] for i in order])
+        return arr, starts, sizes
+    arr = np.asarray(x)  # host array (tests / single device): all local
+    return arr, np.zeros(1, np.int64), np.asarray([arr.shape[0]])
+
+
+def _check_shard_layout(name, starts, sizes, starts0, sizes0):
+    """All sharded fields of one checkpoint part must share the first
+    field's (starts, sizes) layout — load applies that single layout to
+    every field, so mixed placement would be silently mis-assembled
+    (ADVICE r4)."""
+    if not (
+        np.array_equal(starts, starts0) and np.array_equal(sizes, sizes0)
+    ):
+        raise ValueError(
+            f"sharded field {name!r} has shard layout starts={list(starts)} "
+            f"sizes={list(sizes)} != the first field's "
+            f"starts={list(starts0)} sizes={list(sizes0)}; refusing to "
+            "save a checkpoint that would mis-assemble on load"
+        )
+
+
+def _check_shard_coverage(path, n, covered):
+    """Raise unless the union of all loaded part ranges is [0, n): a
+    missing or short part (e.g. a host crashed before writing its file —
+    the exact failure-recovery scenario) must be a loud error, not
+    silently zero-filled rows (ADVICE r4 medium)."""
+    if not covered.all():
+        missing = np.flatnonzero(~covered)
+        lo, hi = int(missing[0]), int(missing[-1])
+        raise ValueError(
+            f"checkpoint {path!r} is incomplete: {missing.size} of {n} "
+            f"shard rows (first {lo}, last {hi}) are covered by no part "
+            f"file — a part is missing or torn; refusing to resume from "
+            "zero-filled state"
+        )
+
+
 def save_checkpoint_sharded(
     path: str,
     sp,
@@ -195,29 +249,15 @@ def save_checkpoint_sharded(
     )
     for name in _REPL_FIELDS:
         arrays[name] = np.asarray(getattr(sp, name))
-    starts = None
+    starts = sizes = None
     for name in _SHARDED_FIELDS:
-        x = getattr(sp, name)
-        if hasattr(x, "addressable_shards") and x.addressable_shards:
-            ids, blocks = [], []
-            for s in x.addressable_shards:
-                sl = s.index[0] if s.index else slice(0, x.shape[0])
-                ids.append(0 if sl.start is None else int(sl.start))
-                blocks.append(np.asarray(s.data))
-            order = np.argsort(ids)
-            arrays[name] = np.concatenate([blocks[i] for i in order], axis=0)
-            f_starts = np.asarray(sorted(ids))
-            f_sizes = np.asarray(
-                [blocks[i].shape[0] for i in order]
-            )
-        else:  # host array (tests / single device): whole thing is local
-            arrays[name] = np.asarray(x)
-            f_starts = np.zeros(1, np.int64)
-            f_sizes = np.asarray([arrays[name].shape[0]])
+        arrays[name], f_starts, f_sizes = _collect_shards(getattr(sp, name))
         if starts is None:
             starts, sizes = f_starts, f_sizes
             arrays["shard_starts"] = starts
             arrays["shard_sizes"] = sizes
+        else:
+            _check_shard_layout(name, f_starts, f_sizes, starts, sizes)
         global_dim = getattr(sp, name).shape[0]
     meta = {
         "camera_model": sp.camera_model,
@@ -230,10 +270,11 @@ def save_checkpoint_sharded(
     tmp = part + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
+    # npz first, .json sidecar last (the commit marker — ADVICE r4).
+    os.replace(tmp, part)
     with open(part + ".json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(part + ".json.tmp", part + ".json")
-    os.replace(tmp, part)
     return part
 
 
@@ -262,6 +303,7 @@ def load_checkpoint_sharded(path: str):
     fields = {}
     for name in _REPL_FIELDS:
         fields[name] = loaded[0][name]
+    covered = np.zeros(n, bool)
     for name in _SHARDED_FIELDS:
         # Each part stores its shards concatenated in start order; split
         # back out by the recorded sizes.
@@ -275,8 +317,10 @@ def load_checkpoint_sharded(path: str):
             off = 0
             for s, sz in zip(starts, sizes):
                 out[int(s) : int(s) + int(sz)] = arr[off : off + int(sz)]
+                covered[int(s) : int(s) + int(sz)] = True
                 off += int(sz)
         fields[name] = out
+    _check_shard_coverage(path, n, covered)
     sp = ShardedProblem(
         camera_model=meta["camera_model"], robust=meta["robust"], **fields
     )
@@ -317,29 +361,15 @@ def save_checkpoint_sharded_cm(
     )
     for name in _CM_REPL_FIELDS:
         arrays[name] = np.asarray(getattr(scm, name))
-    starts = None
+    starts = sizes = None
     for name in _CM_SHARDED_FIELDS:
-        x = getattr(scm, name)
-        if hasattr(x, "addressable_shards") and x.addressable_shards:
-            ids, blocks = [], []
-            for s in x.addressable_shards:
-                sl = s.index[0] if s.index else slice(0, x.shape[0])
-                ids.append(0 if sl.start is None else int(sl.start))
-                blocks.append(np.asarray(s.data))
-            order = np.argsort(ids)
-            arrays[name] = np.concatenate(
-                [blocks[i] for i in order], axis=0
-            )
-            f_starts = np.asarray(sorted(ids))
-            f_sizes = np.asarray([blocks[i].shape[0] for i in order])
-        else:
-            arrays[name] = np.asarray(x)
-            f_starts = np.zeros(1, np.int64)
-            f_sizes = np.asarray([arrays[name].shape[0]])
+        arrays[name], f_starts, f_sizes = _collect_shards(getattr(scm, name))
         if starts is None:
-            arrays["shard_starts"] = f_starts
-            arrays["shard_sizes"] = f_sizes
-            starts = f_starts
+            starts, sizes = f_starts, f_sizes
+            arrays["shard_starts"] = starts
+            arrays["shard_sizes"] = sizes
+        else:
+            _check_shard_layout(name, f_starts, f_sizes, starts, sizes)
         global_dim = getattr(scm, name).shape[0]
     meta = {
         "camera_model": scm.camera_model,
@@ -352,10 +382,11 @@ def save_checkpoint_sharded_cm(
     tmp = part + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
+    # npz first, .json sidecar last (the commit marker — ADVICE r4).
+    os.replace(tmp, part)
     with open(part + ".json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(part + ".json.tmp", part + ".json")
-    os.replace(tmp, part)
     return part
 
 
@@ -381,6 +412,7 @@ def load_checkpoint_sharded_cm(path: str):
     fields = {}
     for name in _CM_REPL_FIELDS:
         fields[name] = loaded[0][name]
+    covered = np.zeros(n, bool)
     for name in _CM_SHARDED_FIELDS:
         out = None
         for z in loaded:
@@ -392,8 +424,10 @@ def load_checkpoint_sharded_cm(path: str):
             off = 0
             for s, sz in zip(starts, sizes):
                 out[int(s) : int(s) + int(sz)] = arr[off : off + int(sz)]
+                covered[int(s) : int(s) + int(sz)] = True
                 off += int(sz)
         fields[name] = out
+    _check_shard_coverage(path, n, covered)
     scm = ShardedCMProblem(
         camera_model=meta["camera_model"], robust=meta["robust"], **fields
     )
@@ -413,7 +447,7 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt") -> Optional[str]:
             continue
         full = os.path.join(directory, name)
         if not os.path.exists(full + ".json"):
-            continue  # torn write — sidecar is renamed first
+            continue  # torn write — the sidecar rename is the commit marker
         it = int(stem)
         if best is None or it > best[0]:
             best = (it, full)

@@ -57,6 +57,13 @@ def _load():
             ]
             lib.pysfm_count_tokens.restype = ctypes.c_int64
             lib.pysfm_count_tokens.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.pysfm_format_bal.restype = ctypes.c_int64
+            lib.pysfm_format_bal.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -88,3 +95,34 @@ def parse_doubles(data: bytes, expected: int | None = None) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), expected,
     )
     return out[:n]
+
+
+def format_bal(
+    obs_cam: np.ndarray,
+    obs_pt: np.ndarray,
+    uv: np.ndarray,
+    vals: np.ndarray,
+) -> bytes | None:
+    """Format the BAL body (obs lines + one value per line at %.17g) with
+    the native writer; returns None when the library is unavailable (the
+    caller falls back to a vectorized NumPy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    obs_cam = np.ascontiguousarray(obs_cam, np.int32)
+    obs_pt = np.ascontiguousarray(obs_pt, np.int32)
+    uv = np.ascontiguousarray(uv, np.float64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    n_obs, n_vals = obs_cam.shape[0], vals.shape[0]
+    cap = 80 * n_obs + 32 * n_vals + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.pysfm_format_bal(
+        obs_cam.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        obs_pt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        uv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_obs,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_vals,
+        buf, cap,
+    )
+    if n < 0:
+        return None  # capacity overflow (cannot happen with the bound above)
+    return buf.raw[:n]

@@ -240,6 +240,16 @@ def run_incremental(
 
     F, T = vis.shape
     cfg = config
+    if cfg.register_batch > cfg.window:
+        # The windowed BA must cover every newly registered camera before
+        # it becomes fixed context (see IncrementalConfig.register_batch);
+        # silently degraded poses for the overflow cameras are worse than
+        # a loud error (ADVICE r4).
+        raise ValueError(
+            f"register_batch ({cfg.register_batch}) must be <= window "
+            f"({cfg.window}) so windowed BA optimizes every newly "
+            "registered camera"
+        )
     key = jax.random.PRNGKey(cfg.seed)
     uv_j = jnp.asarray(uv)
     intr_j = jnp.asarray(intr)

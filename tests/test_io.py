@@ -293,3 +293,32 @@ def test_sharded_cm_checkpoint_roundtrip_and_resume(tmp_path):
     c_full = np.asarray(st_full.costs)
     c_res = np.asarray(st_res.costs)
     np.testing.assert_allclose(c_res[1:], c_full[5:], rtol=1e-9)
+
+
+def test_sharded_cm_checkpoint_incomplete_is_loud(tmp_path):
+    """A checkpoint whose parts do not cover every shard row (e.g. a host
+    crashed before writing its part) must raise, not silently resume from
+    zero-filled state (ADVICE r4 medium)."""
+    import os
+
+    from pysfm_tpu import dist
+    from pysfm_tpu.io import (
+        load_checkpoint_sharded_cm, save_checkpoint_sharded_cm,
+    )
+
+    cmp = synthetic.make_bal_scene(
+        4, 64, mean_track=3.0, max_track=6, noise_px=0.5, seed=11,
+        dtype=np.float64, with_truth=False, layout="cm",
+    ).problem
+    scm, _ = dist.shard_cm_problem(cmp, 2, with_grouped=False)
+    path = str(tmp_path / "scm_torn.npz")
+    part = save_checkpoint_sharded_cm(path, scm)
+    # Tear the part: shrink the recorded shard sizes so the union of
+    # covered rows is a strict subset of [0, n_shards).
+    z = dict(np.load(part))
+    z["shard_sizes"] = z["shard_sizes"] // 2
+    with open(part + ".fix", "wb") as f:
+        np.savez(f, **z)
+    os.replace(part + ".fix", part)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_checkpoint_sharded_cm(path)
