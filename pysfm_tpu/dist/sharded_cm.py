@@ -299,7 +299,7 @@ def solve_sharded_cm(
     )
     stats_spec = LMStats(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
-        n_iters=P(), lam_next=P(), nu_next=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(),
     )
     in_specs = (
         (repl, P(), P())

@@ -86,7 +86,7 @@ def solve_sharded(
     )
     stats_spec = LMStats(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
-        n_iters=P(), lam_next=P(), nu_next=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(),
     )
 
     @partial(
@@ -120,6 +120,7 @@ def solve_sharded(
             n_iters=jnp.asarray(0),
             lam_next=jnp.asarray(config.lam0, dtype),
             nu_next=jnp.asarray(2.0, dtype),
+            cg_iters=jnp.zeros((n_it,), jnp.int32),
         )
         state = (
             sp_local,

@@ -44,6 +44,10 @@ class LMStats:
     nu_next: jnp.ndarray     # scalar: Nielsen growth state after the last
                              # iteration (lam_next/nu_next let a segmented or
                              # checkpointed solve continue exactly)
+    cg_iters: jnp.ndarray    # [max_iters] int: CG iterations spent per LM
+                             # iteration (0 on the dense solver paths) —
+                             # the cost-vs-cumulative-CG-work curve of the
+                             # adaptive forcing sequence
 
 
 class _State(struct.PyTreeNode):
@@ -136,6 +140,7 @@ def _solve_std(
         n_iters=jnp.asarray(0),
         lam_next=lam0,
         nu_next=nu0,
+        cg_iters=jnp.zeros((n_it,), jnp.int32),
     )
     state = _State(
         prob=prob,
@@ -290,6 +295,9 @@ class _CMState(struct.PyTreeNode):
     done: jnp.ndarray
     stats: LMStats
     dc_prev: jnp.ndarray  # [C, CP] last camera step (CG warm start)
+    eta: jnp.ndarray      # CG tolerance used last iteration (EW forcing)
+    grad_prev: jnp.ndarray  # |g|_inf of the previous linearization
+    prev_ok: jnp.ndarray    # was the previous step accepted?
 
 
 def make_grouped_ops(cmp):
@@ -405,6 +413,7 @@ def cm_lm_loop(
         n_iters=jnp.asarray(0),
         lam_next=lam0,
         nu_next=nu0,
+        cg_iters=jnp.zeros((n_it,), jnp.int32),
     )
     state = _CMState(
         prob=cmp,
@@ -415,6 +424,9 @@ def cm_lm_loop(
         done=jnp.asarray(False),
         stats=stats,
         dc_prev=jnp.zeros((cmp.n_cameras, cmp.cam_dof), dtype),
+        eta=jnp.asarray(config.cg_tol_max, dtype),
+        grad_prev=jnp.asarray(0.0, dtype),
+        prev_ok=jnp.asarray(True),
     )
 
     def cond(s: _CMState):
@@ -440,14 +452,40 @@ def cm_lm_loop(
             jnp.max(jnp.abs(psum(eqs.g_c))),
             pmax(jnp.max(jnp.abs(eqs.g_p))),
         )
-        dc, dp3 = pcg.solve_step_pcg_cm3(
+        if config.cg_forcing == "ew":
+            # Eisenstat-Walker choice 2 (gamma = 0.9, alpha = 2) on the
+            # gradient-norm ratio, with the standard safeguard against
+            # over-tightening (don't drop below gamma * eta_prev^2 while
+            # that is still > 0.1) and a 4x tighten after a rejected step.
+            # All inputs (grad_inf, s.*) are replicated/psum'd, so every
+            # chip computes the identical eta in the distributed loop.
+            gamma = jnp.asarray(0.9, dtype)
+            ratio = grad_inf / jnp.maximum(
+                s.grad_prev, jnp.finfo(dtype).tiny
+            )
+            eta_ew = gamma * ratio * ratio
+            safe = gamma * s.eta * s.eta
+            eta_ew = jnp.where(safe > 0.1, jnp.maximum(eta_ew, safe), eta_ew)
+            eta_acc = jnp.clip(eta_ew, config.cg_tol, config.cg_tol_max)
+            eta_rej = jnp.maximum(0.25 * s.eta, config.cg_tol)
+            eta_i = jnp.where(s.prev_ok, eta_acc, eta_rej)
+            eta_i = jnp.where(
+                s.it == 0, jnp.asarray(config.cg_tol_max, dtype), eta_i
+            )
+            tol_i = eta_i
+        else:
+            eta_i = jnp.asarray(config.cg_tol, dtype)
+            tol_i = config.cg_tol
+        dc, dp3, n_cg = pcg.solve_step_pcg_cm3(
             eqs, s.lam, p.obs_cam, p.obs_pt,
-            tol=config.cg_tol, max_iters=config.cg_iters,
+            tol=tol_i, max_iters=config.cg_iters,
             axis_name=axis_name,
             pt_obsT=p.pt_obsT, pt_obs_maskT=p.pt_obs_maskT,
             cam_obs=p.cam_obs, cam_obs_mask=p.cam_obs_mask,
             dc_warm=s.dc_prev if config.cg_warm_start else None,
             gops=gops_it,
+            q_tol=config.cg_q_tol,
+            precond_terms=config.cg_precond_terms,
         )
         cand = cm.apply_update_cm(p, dc, dp3)
         new_cost = cost_fn(cand)
@@ -508,6 +546,7 @@ def cm_lm_loop(
             grad_inf=st.grad_inf.at[s.it].set(grad_inf),
             step_norms=st.step_norms.at[s.it].set(step_norm),
             n_iters=s.it + 1,
+            cg_iters=st.cg_iters.at[s.it].set(n_cg.astype(jnp.int32)),
         )
         return _CMState(
             prob=prob_next,
@@ -518,6 +557,9 @@ def cm_lm_loop(
             done=converged,
             stats=st,
             dc_prev=dc,
+            eta=eta_i,
+            grad_prev=grad_inf,
+            prev_ok=ok,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -558,7 +600,7 @@ def solve_segmented(
     nu = jnp.asarray(2.0, prob.dtype)
     p = prob
     costs = []
-    lams, accepted, grad_inf, step_norms = [], [], [], []
+    lams, accepted, grad_inf, step_norms, cg_its = [], [], [], [], []
     n_done = 0
     while n_done < total:
         kk = min(k, total - n_done)
@@ -575,6 +617,7 @@ def solve_segmented(
         accepted.append(np.asarray(st.accepted)[:n_it])
         grad_inf.append(np.asarray(st.grad_inf)[:n_it])
         step_norms.append(np.asarray(st.step_norms)[:n_it])
+        cg_its.append(np.asarray(st.cg_iters)[:n_it])
         lam, nu = st.lam_next, st.nu_next
         n_done += n_it
         if n_it < kk:  # converged inside the segment
@@ -588,4 +631,5 @@ def solve_segmented(
         n_iters=np.asarray(n_done),
         lam_next=np.asarray(lam),
         nu_next=np.asarray(nu),
+        cg_iters=np.concatenate(cg_its),
     )

@@ -85,6 +85,9 @@ class PCGSystem(NamedTuple):
     # When set, the CG loop's S-matvecs run the vreg-local-gather kernels
     # (solver/kernels/pallas_spmv.py) instead of the XLA gathers.
     gops: Optional[object] = None  # pallas_spmv.GroupedOps
+    # The (damped) block diagonal of S itself — kept only when the power-
+    # series preconditioner needs to apply O = D - S (see _precond_power).
+    D_blk: Optional[jnp.ndarray] = None  # [C, CP, CP]
 
 
 def _eqs_to_cm(eqs: schur.NormalEqs) -> scale_mod.ScaleEqs:
@@ -108,6 +111,7 @@ def build_pcg_system(
     cam_obs: jnp.ndarray | None = None,
     cam_obs_mask: jnp.ndarray | None = None,
     gops=None,
+    keep_D: bool = False,
 ) -> PCGSystem:
     """Damp, invert point blocks, build rhs and the block-Jacobi
     preconditioner — everything except S itself.
@@ -229,6 +233,7 @@ def build_pcg_system(
         Bp=Bp, camg=camg, Bg=Bg, ptg=ptg,
         B_cm=B_keep, obs_cam=oc_keep, obs_pt=op_keep,
         gops=gops,
+        D_blk=D if keep_D else None,
     )
 
 
@@ -292,6 +297,27 @@ def _precond(sys: PCGSystem, r: jnp.ndarray) -> jnp.ndarray:
     return xp.einsum("cde,ec->dc", sys.M_inv, r)
 
 
+def _precond_power(
+    sys: PCGSystem, r: jnp.ndarray, terms: int, axis_name: str | None
+) -> jnp.ndarray:
+    """Truncated Neumann/power-series preconditioner (PAPERS.md: Power
+    Bundle Adjustment applies the same expansion as the *solver*; here it
+    strengthens CG): with S = D - O and D the exact block-Jacobi diagonal,
+
+        S^-1 = sum_j (D^-1 O)^j D^-1   =>   z_m = D^-1 (r + O z_{m-1}),
+
+    where O z = D z - S z costs one S-matvec per extra term.  ``terms=1``
+    is exactly block-Jacobi; each additional term trades one matvec per CG
+    iteration for a better-conditioned system.  Requires ``sys.D_blk``
+    (kept by build_pcg_system when terms > 1)."""
+    z = _precond(sys, r)
+    for _ in range(terms - 1):
+        Sz = schur_matvec(sys, z, axis_name)
+        Dz = xp.einsum("cde,ec->dc", sys.D_blk, z)
+        z = _precond(sys, r + Dz - Sz)
+    return z
+
+
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b)
 
@@ -303,37 +329,69 @@ def pcg_solve(
     max_iters: int = 100,
     axis_name: str | None = None,
     x0: jnp.ndarray | None = None,
+    q_tol: float = 0.0,
+    precond_terms: int = 1,
+    return_iters: bool = False,
 ) -> jnp.ndarray:
-    """Preconditioned CG for S dc = rhs; returns dc [CP, C].
+    """Preconditioned CG for S dc = rhs; returns dc [CP, C] (or
+    ``(dc, n_iters)`` with ``return_iters=True``).
 
     ``x0`` warm-starts the iteration (pass the previous LM iteration's
     camera step: the reduced system changes only through the damping and
     the relinearization, so the old step is an excellent initial guess
     and typically removes a third to half of the CG iterations).
 
+    ``tol`` may be a traced scalar (the Eisenstat-Walker forcing sequence
+    feeds a per-LM-iteration value).  ``q_tol`` > 0 adds quadratic-model
+    stagnation termination: with Q(x) = 0.5 x'Sx - b'x (whose decrease per
+    CG step is the exactly-known 0.5 alpha_i rz_i), stop at iteration i
+    when  i * (Q_{i-1} - Q_i) <= q_tol |Q_i|  — the Ceres ITERATIVE_SCHUR
+    rule; near LM convergence the step barely moves the model and CG exits
+    in a handful of iterations regardless of the residual norm.
+
+    ``precond_terms`` > 1 applies the power-series preconditioner
+    (:func:`_precond_power`; needs ``sys.D_blk``).
+
     Note on distributed determinism: every quantity entering the CG
     scalars is psum'd (hence bitwise-identical across chips given the
     fixed mesh reduction order), so chips cannot diverge.
     """
     b = sys.rhs
+
+    def precond(r):
+        if precond_terms > 1:
+            return _precond_power(sys, r, precond_terms, axis_name)
+        return _precond(sys, r)
+
     if x0 is None:
         x0 = jnp.zeros_like(b)
         r0 = b                                # x0 = 0 => r = b - S x0 = b
+        Q0 = jnp.zeros((), b.dtype)
     else:
         r0 = b - schur_matvec(sys, x0, axis_name)
-    z0 = _precond(sys, r0)
+        # Q(x0) = 0.5 x0'S x0 - b'x0 with S x0 = b - r0.
+        Q0 = -0.5 * (_dot(x0, b) + _dot(x0, r0))
+    z0 = precond(r0)
     b_norm = jnp.sqrt(_dot(b, b))
     thresh = tol * jnp.maximum(b_norm, jnp.asarray(1e-30, b.dtype))
+    big = jnp.asarray(jnp.finfo(b.dtype).max, b.dtype)
 
     def cond(state):
-        _, r, _, _, rz, it, done = state
-        return jnp.logical_and(
+        _, r, _, _, rz, it, done, Q, dQ = state
+        go = jnp.logical_and(
             jnp.logical_and(it < max_iters, jnp.logical_not(done)),
             jnp.sqrt(_dot(r, r)) > thresh,
         )
+        if q_tol > 0.0:
+            stag = jnp.logical_and(
+                it > 0,
+                it.astype(Q.dtype) * dQ <= q_tol * jnp.abs(Q),
+            )
+            go = jnp.logical_and(go, jnp.logical_not(stag))
+        return go
 
     def body(state):
-        x, r, z, p, rz, it, _ = state
+        x, r, z, p, rz, it, _, Q, _ = state
         Sp = schur_matvec(sys, p, axis_name)
         pSp = _dot(p, Sp)
         # Breakdown guard: S is SPD in exact arithmetic, but f32 rounding at
@@ -349,15 +407,21 @@ def pcg_solve(
         )
         x = x + alpha * p
         r = r - alpha * Sp
-        z = _precond(sys, r)
+        z = precond(r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, bad)
+        dQ = 0.5 * alpha * rz                  # Q_{i-1} - Q_i (exact)
+        return (x, r, z, p, rz_new, it + 1, bad, Q - dQ, dQ)
 
-    state = (x0, r0, z0, z0, _dot(r0, z0), jnp.asarray(0), jnp.asarray(False))
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    state = (
+        x0, r0, z0, z0, _dot(r0, z0), jnp.asarray(0), jnp.asarray(False),
+        Q0, big,
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    if return_iters:
+        return out[0], out[5]
+    return out[0]
 
 
 def back_substitute(sys: PCGSystem, dc: jnp.ndarray) -> jnp.ndarray:
@@ -385,7 +449,7 @@ def solve_step_pcg(
     """Drop-in replacement for :func:`schur.solve_step_dense` at scale.
 
     Returns ``(dc [C, CP], dp [P, 3])`` in the standard layout."""
-    dc, dp3 = solve_step_pcg_cm3(
+    dc, dp3, _ = solve_step_pcg_cm3(
         eqs, lam, obs_cam, obs_pt,
         tol=tol, max_iters=max_iters, axis_name=axis_name,
         pt_obsT=pt_obsT, pt_obs_maskT=pt_obs_maskT,
@@ -409,21 +473,26 @@ def solve_step_pcg_cm3(
     cam_obs_mask: jnp.ndarray | None = None,
     dc_warm: jnp.ndarray | None = None,
     gops=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    q_tol: float = 0.0,
+    precond_terms: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Like :func:`solve_step_pcg` but keeps the point step component-major:
-    returns ``(dc [C, CP], dp3 [3, P])`` — the layout the CM LM loop and
-    :func:`pysfm_tpu.problem.cm.apply_update_cm` consume directly.
+    returns ``(dc [C, CP], dp3 [3, P], n_cg)`` — the layout the CM LM loop
+    and :func:`pysfm_tpu.problem.cm.apply_update_cm` consume directly, plus
+    the CG iterations actually spent (for the forcing-sequence stats).
 
     ``dc_warm`` ([C, CP], optional) warm-starts CG with the previous LM
     iteration's camera step; ``gops`` (a
     :class:`~pysfm_tpu.solver.kernels.pallas_spmv.GroupedOps` with
     per-iteration ``b_rows``) routes the CG matvecs through the grouped
-    Pallas kernels."""
+    Pallas kernels.  ``tol`` may be traced (adaptive forcing); ``q_tol``
+    and ``precond_terms`` as in :func:`pcg_solve`."""
     sys = build_pcg_system(
         eqs, lam, obs_cam, obs_pt, axis_name,
         pt_obsT=pt_obsT, pt_obs_maskT=pt_obs_maskT,
         cam_obs=cam_obs, cam_obs_mask=cam_obs_mask,
         gops=gops,
+        keep_D=precond_terms > 1,
     )
     # Materialization fence between the system build and the CG while_loop:
     # without it the axon TPU compiler fuses the gathered-operand build into
@@ -431,8 +500,9 @@ def solve_step_pcg_cm3(
     # solver/scale.py).  Also exactly what we want for memory locality.
     sys = jax.lax.optimization_barrier(sys)
     x0 = None if dc_warm is None else dc_warm.T
-    dc = pcg_solve(
-        sys, tol=tol, max_iters=max_iters, axis_name=axis_name, x0=x0
+    dc, n_cg = pcg_solve(
+        sys, tol=tol, max_iters=max_iters, axis_name=axis_name, x0=x0,
+        q_tol=q_tol, precond_terms=precond_terms, return_iters=True,
     )
     dp3 = back_substitute(sys, dc)
-    return dc.T, dp3
+    return dc.T, dp3, n_cg

@@ -55,3 +55,27 @@ class LMConfig:
     # excellent initial guess; with cg_tol-based early exit this removes a
     # large fraction of the S-matvecs.
     cg_warm_start: bool = True
+    # Adaptive CG forcing sequence (pcg solver only).  "fixed" runs every
+    # LM iteration at cg_tol; "ew" uses an Eisenstat-Walker (choice 2)
+    # schedule: the relative CG tolerance for iteration k is
+    #   eta_k = clip(0.9 (|g_k| / |g_{k-1}|)^2, cg_tol, cg_tol_max)
+    # — loose while LM is far from convergence (big gradient drops do not
+    # need an accurate Newton step), tightening toward cg_tol as the
+    # gradient stalls, with a 4x tightening after a rejected step (an
+    # inexact step is a plausible cause of the rejection).  This spends
+    # CG iterations where they buy cost reduction instead of a fixed
+    # budget per LM iteration (VERDICT r4 next-round #1).
+    cg_forcing: str = "fixed"
+    cg_tol_max: float = 0.3
+    # Quadratic-model stagnation termination for CG (0 = off): stop at CG
+    # iteration i when  i * (Q_{i-1} - Q_i) <= cg_q_tol * |Q_i|  with
+    # Q(x) = 0.5 x^T S x - b^T x (the rule Ceres uses for ITERATIVE_SCHUR).
+    # Near LM convergence the step barely changes the quadratic model, so
+    # CG exits after a handful of iterations regardless of the residual
+    # tolerance — the complementary half of the adaptive forcing.
+    cg_q_tol: float = 0.0
+    # Power-series preconditioner terms (1 = exact block-Jacobi; m > 1
+    # adds m-1 Neumann-series terms of S^-1 around its block diagonal at
+    # one extra S-matvec per CG iteration per term — see
+    # solver/pcg.py _precond_power and the VENICE_r05 evaluation).
+    cg_precond_terms: int = 1

@@ -93,6 +93,69 @@ def test_pcg_large_smoke():
     assert costs[-1] < costs[0] * 0.05
 
 
+def test_adaptive_forcing_same_cost_fewer_matvecs():
+    """Eisenstat-Walker forcing + Q-stagnation termination must reach the
+    fixed-budget final cost while spending materially fewer total CG
+    iterations (VERDICT r4 next-round #1)."""
+    cmp = synthetic.make_bal_scene(
+        16, 1500, mean_track=5.0, max_track=10, noise_px=0.5, seed=7,
+        with_truth=False, layout="cm",
+    ).problem
+    base = LMConfig(
+        max_iters=15, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=25, cg_tol=1e-2,
+    )
+    ew = dataclasses.replace(base, cg_forcing="ew", cg_q_tol=0.1)
+    _, st_f = solve(cmp, base)
+    _, st_e = solve(cmp, ew)
+    c_f = float(np.asarray(st_f.costs)[-1])
+    c_e = float(np.asarray(st_e.costs)[-1])
+    np.testing.assert_allclose(c_e, c_f, rtol=1e-4)
+    cg_f = int(np.asarray(st_f.cg_iters).sum())
+    cg_e = int(np.asarray(st_e.cg_iters).sum())
+    assert cg_e < 0.7 * cg_f, (cg_e, cg_f)
+    # The stats record real per-iteration counts bounded by the budget.
+    per = np.asarray(st_e.cg_iters)
+    assert per.max() <= base.cg_iters and per.min() >= 0
+
+
+def test_q_termination_bounds_polish_iterations():
+    """With LM nearly converged, Q-stagnation exits CG in O(1) iterations:
+    the warm-started step barely changes the quadratic model."""
+    cmp = synthetic.make_bal_scene(
+        12, 800, mean_track=4.0, max_track=8, noise_px=0.5, seed=3,
+        with_truth=False, layout="cm",
+    ).problem
+    cfg = LMConfig(
+        max_iters=20, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=50, cg_tol=1e-8, cg_q_tol=0.1,
+    )
+    _, st = solve(cmp, cfg)
+    per = np.asarray(st.cg_iters)
+    # Tail iterations (LM converged: cost plateaued) must be cheap.
+    assert per[-3:].max() <= 10, list(per)
+
+
+def test_power_series_preconditioner_matches_jacobi_solution(scene):
+    """precond_terms=2 changes the preconditioner, not the solution: the
+    tightly-converged step equals the block-Jacobi one."""
+    p = scene.problem
+    eqs = _normal_eqs(p)
+    lam = jnp.asarray(1e-3, p.X.dtype)
+    dc1, dp1, n1 = pcg.solve_step_pcg_cm3(
+        eqs, lam, p.obs_cam, p.obs_pt, tol=1e-12, max_iters=400,
+    )
+    dc2, dp2, n2 = pcg.solve_step_pcg_cm3(
+        eqs, lam, p.obs_cam, p.obs_pt, tol=1e-12, max_iters=400,
+        precond_terms=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc2), np.asarray(dc1), rtol=1e-6, atol=1e-9
+    )
+    # The stronger preconditioner must not need MORE iterations.
+    assert int(n2) <= int(n1), (int(n2), int(n1))
+
+
 def test_sharded_pcg_matches_single_device(scene):
     import jax
 

@@ -124,6 +124,27 @@ def test_sharded_cm_kernels_match_single():
     )
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_cm_ew_forcing_matches_single_f64(n_shards):
+    """Adaptive forcing in the distributed loop: eta is computed from
+    psum'd quantities, so chips stay in lockstep and the sharded solve
+    still equals the single-chip one — including the per-iteration CG
+    counts (the forcing sequence itself must be identical)."""
+    cmp = _bal_cm(np.float64)
+    cfg = _cfg(max_iters=5, cg_forcing="ew", cg_q_tol=0.1, cg_tol=1e-6)
+    _, st_ref = solve(cmp, cfg)
+    scm, _ = dist.shard_cm_problem(cmp, n_shards, with_grouped=False)
+    mesh = dist.make_mesh(n_shards)
+    scm, _ = dist.device_put_sharded_cm(scm, None, mesh)
+    _, st = dist.solve_sharded_cm(scm, None, mesh, cfg)
+    np.testing.assert_allclose(
+        np.asarray(st.costs), np.asarray(st_ref.costs), rtol=1e-9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.cg_iters), np.asarray(st_ref.cg_iters)
+    )
+
+
 def test_sharded_cm_warm_start_lockstep():
     """CG warm start stays in lockstep across shards (replicated dc)."""
     cmp = _bal_cm(np.float64, seed=11, C=6, P=320)
