@@ -46,6 +46,15 @@ def main():
     ap.add_argument("--iters", type=int, default=18)
     ap.add_argument("--cg-iters", type=int, default=25)
     ap.add_argument("--cg-tol", type=float, default=1e-2)
+    ap.add_argument("--forcing", choices=["fixed", "ew"], default="ew",
+                    help="CG forcing sequence: 'fixed' reproduces the r4 "
+                         "budget (cg_iters at cg_tol every LM iteration); "
+                         "'ew' is the adaptive Eisenstat-Walker schedule")
+    ap.add_argument("--q-tol", type=float, default=0.1,
+                    help="CG quadratic-model stagnation tolerance "
+                         "(0 disables; applies to both forcing modes)")
+    ap.add_argument("--precond-terms", type=int, default=1,
+                    help=">1 enables the power-series preconditioner")
     ap.add_argument("--no-kernels", action="store_true",
                     help="disable the grouped Pallas matvec kernels")
     ap.add_argument("--obs-chunk", type=int, default=1 << 19)
@@ -53,7 +62,14 @@ def main():
     ap.add_argument("--camera-model", type=str, default="pose",
                     help="pose (6-dof, the r2/r3-comparable headline) or "
                          "bal (9-dof: +f,k1,k2)")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent compilation cache")
     args = ap.parse_args()
+
+    if not args.no_cache:
+        from pysfm_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
 
     dev = jax.devices()[0]
     t0 = time.perf_counter()
@@ -74,6 +90,8 @@ def main():
         max_iters=args.iters, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
         solver="pcg", cg_iters=args.cg_iters, cg_tol=args.cg_tol,
         obs_chunk=args.obs_chunk,
+        cg_forcing=args.forcing, cg_q_tol=args.q_tol,
+        cg_precond_terms=args.precond_terms,
     )
     gops = None
     if not args.no_kernels:
@@ -105,22 +123,33 @@ def main():
     q = p
     seg_ms = []
     all_costs = []
+    all_cg = []
     acc = 0
+    n_exec = 0
     t_all0 = time.perf_counter()
     for s0 in range(0, args.iters, seg_iters):
+        # Clamp the final segment so exactly args.iters LM iterations run
+        # and per-iteration figures divide by the executed count (ADVICE r4).
+        kk = min(seg_iters, args.iters - s0)
+        cfg_k = cfg_seg if kk == seg_iters else _dc.replace(
+            cfg, max_iters=kk
+        )
         t0 = time.perf_counter()
-        q, st = _solve(q, cfg_seg, lam_init=lam, nu_init=nu, gops=gops)
+        q, st = _solve(q, cfg_k, lam_init=lam, nu_init=nu, gops=gops)
         sync(q.X3)
-        seg_ms.append((time.perf_counter() - t0) * 1e3 / seg_iters)
+        seg_ms.append((time.perf_counter() - t0) * 1e3 / kk)
+        n_exec += kk
         lam, nu = st.lam_next, st.nu_next
         cs = np.asarray(st.costs, np.float64)
         if not all_costs:
             all_costs.append(cs[:1])
-        all_costs.append(cs[1:])
+        all_costs.append(cs[1 : kk + 1])
+        all_cg.append(np.asarray(st.cg_iters)[:kk])
         acc += int(np.asarray(st.accepted).sum())
     dt = time.perf_counter() - t_all0
     solved, stats = q, st
     costs = np.concatenate(all_costs)
+    cg_per_lm = np.concatenate(all_cg)
     accepted = acc
 
     mem = {}
@@ -157,6 +186,7 @@ def main():
     acct["resident_total_gb"] = round(sum(acct.values()) / 1e9, 3)
     mem["explicit"] = acct
 
+    cum_cg = np.concatenate([[0], np.cumsum(cg_per_lm)])
     out = {
         "config": "bal_venice",
         "camera_model": args.camera_model,
@@ -164,9 +194,9 @@ def main():
         "cams": p.n_cameras,
         "points": p.n_points,
         "observations": p.n_obs,
-        "iters": args.iters,
-        "iters_per_s": round(args.iters / dt, 3),
-        "ms_per_iter": round(1e3 * dt / args.iters, 2),
+        "iters": n_exec,
+        "iters_per_s": round(n_exec / dt, 3),
+        "ms_per_iter": round(1e3 * dt / n_exec, 2),
         "ms_per_iter_segments": [round(m, 1) for m in seg_ms],
         "ms_per_iter_best_segment": round(min(seg_ms), 2),
         "accepted": accepted,
@@ -175,6 +205,16 @@ def main():
         "cost_curve": [float(c) for c in costs[:: max(1, args.iters // 10)]],
         "cg_iters": args.cg_iters,
         "cg_tol": args.cg_tol,
+        "forcing": args.forcing,
+        "cg_q_tol": args.q_tol,
+        "precond_terms": args.precond_terms,
+        "cg_iters_per_lm": [int(c) for c in cg_per_lm],
+        "total_cg_iters": int(cg_per_lm.sum()),
+        # cost after each LM iteration vs cumulative CG iterations spent —
+        # the "same final cost in fewer matvecs" evidence (VERDICT r4 #1).
+        "cost_vs_cumulative_cg": [
+            [int(g), float(c)] for g, c in zip(cum_cg, costs)
+        ],
         "kernels": not args.no_kernels,
         "obs_chunk": args.obs_chunk,
         "scene_build_s": round(t_build, 1),
