@@ -90,7 +90,10 @@ class ShardedCMProblem:
 
 
 def shard_cm_problem(
-    cmp: cm_mod.CMProblem, n_shards: int, with_grouped: bool = True
+    cmp: cm_mod.CMProblem,
+    n_shards: int,
+    with_grouped: bool = True,
+    superstep: int = 4,
 ) -> Tuple[ShardedCMProblem, Optional[pallas_spmv.GroupedOps]]:
     """Partition a CMProblem into ``n_shards`` point blocks (host-side).
 
@@ -188,6 +191,10 @@ def shard_cm_problem(
             )
         )
     nb_max = max(m.block_group.shape[0] for m in metas)
+    if superstep > 1:
+        # Two-phase kernels need NB % superstep == 0 (uniform across
+        # shards anyway — all shards pad to nb_max).
+        nb_max = -(-nb_max // superstep) * superstep
     cp = cmp.cam_dof
     per_shard = []
     for k in range(n_shards):
@@ -204,11 +211,13 @@ def shard_cm_problem(
                 u=u_s[k, :n_real], v=v_s[k, :n_real], w=w_s[k, :n_real],
             )
         )
-    # max_run is a STATIC field (part of the pytree structure): unify it
-    # across shards so the stacked tree has one treedef and every chip
-    # compiles the same scan schedule.
+    # max_run / superstep are STATIC fields (part of the pytree
+    # structure): unify them across shards so the stacked tree has one
+    # treedef and every chip compiles the same schedule.
     mr = max(g.max_run for g in per_shard)
-    per_shard = [g.replace(max_run=mr) for g in per_shard]
+    per_shard = [
+        g.replace(max_run=mr, superstep=superstep) for g in per_shard
+    ]
     sgops = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *per_shard
     )
@@ -263,21 +272,28 @@ def solve_sharded_cm(
     config: LMConfig = LMConfig(solver="pcg"),
     lam_init=None,
     nu_init=None,
+    cam_axis: bool = False,
 ) -> Tuple[ShardedCMProblem, LMStats]:
     """Distributed CM LM solve on ``mesh``.
 
     ``sgops`` routes the CG matvecs + normal-equation build through the
     grouped Pallas kernels (the flagship path); ``sgops=None`` runs the
     obs-chunked XLA build with table matvecs (dtype-preserving — used for
-    f64 equality tests)."""
+    f64 equality tests).
+
+    ``cam_axis=True`` additionally partitions the camera axis of the
+    reduced solve over the same mesh axis (points AND cameras sharded:
+    chip k owns point block k and camera slice k — see
+    :class:`pysfm_tpu.solver.pcg.CamShard` and ``MEMMODEL_r05.json`` for
+    the per-chip memory model)."""
     dtype = scm.X3.dtype
     lam0 = jnp.asarray(
         config.lam0 if lam_init is None else lam_init, dtype
     )
     nu0 = jnp.asarray(2.0 if nu_init is None else nu_init, dtype)
     key = (
-        mesh, config, scm.camera_model, scm.robust,
-        None if sgops is None else sgops.max_run,
+        mesh, config, scm.camera_model, scm.robust, cam_axis,
+        None if sgops is None else (sgops.max_run, sgops.superstep),
     )
     cached = _FN_CACHE.get(key)
     if cached is not None:
@@ -331,7 +347,8 @@ def solve_sharded_cm(
             camera_model=scm_l.camera_model, robust=scm_l.robust,
         )
         solved, stats = cm_lm_loop(
-            lp, config, lam_a, nu_a, gops=gl, axis_name=AXIS
+            lp, config, lam_a, nu_a, gops=gl, axis_name=AXIS,
+            cam_shards=len(mesh.devices.flat) if cam_axis else 0,
         )
         out = scm_l.replace(
             R=solved.R, t=solved.t, intr=solved.intr,

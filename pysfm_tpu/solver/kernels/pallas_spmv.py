@@ -71,6 +71,16 @@ class GroupedOps:
     # schedule (runs <= 2^k need only shifts 1..2^(k-1) and, when
     # <= CGRP, a single cross-row carry instead of a sublane scan).
     max_run: int = struct.field(pytree_node=False, default=BLK)
+    # Blocks per grid step for the two-phase matvec kernels (K_A2/K_B2):
+    # NB must be a multiple of it (make_grouped_ops pads the stream).
+    # 1 = the single-block revisiting schedule (K_A/K_B).  The grid's
+    # fixed cost is 0.95 us/step (ROOFLINE_r04 empty-kernel probe), ~1/3
+    # of a block's total work — processing `superstep` blocks per step
+    # amortizes it, which the revisiting output schedule cannot express
+    # (blocks of one step may belong to different (group, chunk) cells);
+    # the two-phase kernels instead emit per-block partials and reduce
+    # them with one one-hot MXU matmul (VERDICT r4 next-round #2).
+    superstep: int = struct.field(pytree_node=False, default=1)
 
     @property
     def n_blocks(self) -> int:
@@ -437,6 +447,224 @@ def hcp_w_grouped(
     gm = jnp.repeat(ops.group_mask, CGRP)[:, None]         # [G*128, 1]
     y = jnp.where(gm > 0, ypartT, 0.0).T                   # [cp, G*128]
     return y[:, :n_cameras]
+
+
+# ---------------------------------------------------------------------------
+# K_A2 / K_B2: two-phase superstep matvec schedule
+#
+# The single-block kernels above are grid-overhead bound: 0.95 us of the
+# ~3 us per grid step is fixed cost (ROOFLINE_r04), and the revisiting
+# output windows (accumulate into the block's (group, chunk) cell) force
+# exactly one block per step.  The two-phase schedule removes that
+# constraint: phase 1 processes `superstep` blocks per grid step and
+# writes each block's partial to its OWN output row (no revisiting, no
+# read-modify-write, no cell_first/group_first bookkeeping); phase 2
+# reduces the [NB, ...] partials per chunk/group with a one-hot f32 MXU
+# matmul (0.05 ms at quarter-Venice, 0.8 ms at Venice — against 1.2 ms
+# of reclaimed grid overhead per kernel).
+# ---------------------------------------------------------------------------
+
+
+def _route_write(o_ref, t, vrows, posm, rt_bits):
+    """Like :func:`_route_to_ref` but writes block ``t``'s partial window
+    directly (the [T, 3, PCH] output block was zeroed first; each routed
+    slice is written exactly once per block, so no RMW is needed).
+
+    The rank expansion also differs: instead of the sublane gather
+    ``take_along_axis(g1, pos >> 7, axis=0)`` (which Mosaic lowers as a
+    select chain — measured 1.3 ms of the 4.1 ms phase-1 total), each
+    slot's source sublane is selected with ONE iota-compare mask and a
+    sublane-axis sum — exactly one row matches per valid slot, so the
+    sum IS the selection (ablation probe: route 1.3 -> ~0.5 ms)."""
+    n = len(vrows)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (SUB, CGRP), 0)
+    for vv in range(NSL):
+        @pl.when(((rt_bits >> vv) & 1) == 1)
+        def _(vv=vv):
+            pos1 = posm[vv:vv + 1]                   # [1, CGRP]
+            pos8 = jnp.broadcast_to(pos1, (SUB, CGRP))
+            lanei = jnp.where(pos8 < BLK, pos8 & (CGRP - 1), 0)
+            msk = jnp.logical_and(sub1 == (pos8 >> 7), pos8 < BLK)
+            pieces = []
+            for v in vrows:
+                g1 = _take1(v, lanei)                # [SUB, CGRP]
+                val = jnp.where(msk, g1, 0.0)
+                pieces.append(jnp.sum(val, axis=0, keepdims=True))
+            add = jnp.concatenate(pieces, axis=0)    # [n, CGRP]
+            o_ref[t, 0:n, vv * CGRP:(vv + 1) * CGRP] = add
+
+
+def _ka2_kernel(cp, T, max_run, bg, rt, *refs):
+    xs = refs[:T]
+    b_ref, lc_ref, ss_ref, se_ref, o_ref = refs[T:]
+    bs = pl.program_id(0)
+    for t in range(T):
+        lc = lc_ref[t]
+        xg = [_take1(xs[t][d], lc) for d in range(cp)]
+        qrows = []
+        for s in range(3):
+            q = b_ref[s * cp, t] * xg[0]
+            for d in range(1, cp):
+                q = q + b_ref[s * cp + d, t] * xg[d]
+            qrows.append(q)
+        vrows = _seg_scan(qrows, ss_ref[t], max_run)
+        o_ref[t] = jnp.zeros((3, PCH), jnp.float32)
+        _route_write(o_ref, t, vrows, se_ref[t], rt[bs * T + t])
+
+
+@partial(jax.jit, static_argnames=("cp", "interpret"))
+def hcpT_x_grouped2(
+    ops: GroupedOps,
+    x: jnp.ndarray,
+    *,
+    cp: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Two-phase u = Hcp^T x (see module section comment); semantics of
+    :func:`hcpT_x_grouped`: ``x`` [cp, C] -> u [3, NCH*PCH]."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    T = ops.superstep
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    assert NB % T == 0, (NB, T)
+    Cpad = G * CGRP
+    x_p = jnp.zeros((cp, Cpad), x.dtype).at[:, : x.shape[1]].set(x)
+    xrep = jnp.broadcast_to(x_p[:, None, :], (cp, SUB, Cpad))
+    xrep = jax.lax.optimization_barrier(xrep)
+
+    x_specs = [
+        pl.BlockSpec(
+            (cp, SUB, CGRP),
+            lambda bs, bg, rt, t=t: (0, 0, bg[bs * T + t]),
+            memory_space=pltpu.VMEM,
+        )
+        for t in range(T)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB // T,),
+        in_specs=x_specs + [
+            pl.BlockSpec((3 * cp, T, SUB, CGRP),
+                         lambda bs, bg, rt: (0, bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, SUB, CGRP), lambda bs, bg, rt: (bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, SUB, CGRP), lambda bs, bg, rt: (bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, NSL, CGRP), lambda bs, bg, rt: (bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, 3, PCH), lambda bs, bg, rt: (bs, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    part = pl.pallas_call(
+        partial(_ka2_kernel, cp, T, ops.max_run),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, 3, PCH), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.route,
+        *([xrep] * T), ops.b_rows, ops.lcam, ops.seg_start, ops.seg_end_pos,
+    )
+    # Phase 2: per-chunk reduction of the per-block partials (one-hot MXU
+    # contraction; pad blocks wrote zeros, so no masking is needed).
+    oh = (
+        ops.block_chunk[None, :] == jnp.arange(NCH, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)                                  # [NCH, NB]
+    u = jax.lax.dot_general(
+        oh, part.reshape(NB, 3 * PCH),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(NCH, 3, PCH)
+    return jnp.transpose(u, (1, 0, 2)).reshape(3, NCH * PCH)
+
+
+def _kb2_kernel(cp, T, bg, bc, *refs):
+    ws = refs[:T]
+    b_ref, lp_ref, lc_ref, o_ref = refs[T:]
+    for t in range(T):
+        lp = lp_ref[t]
+        lc = lc_ref[t]
+        wg = _chunk_fill(ws[t], lp, 3)
+        q2 = []
+        for d in range(cp):
+            acc = b_ref[d, t] * wg[0]
+            for s in range(1, 3):
+                acc = acc + b_ref[s * cp + d, t] * wg[s]
+            q2.append(acc)
+        o_ref[t] = _onehot_cam_reduce(q2, lc)
+
+
+@partial(jax.jit, static_argnames=("cp", "interpret", "n_cameras"))
+def hcp_w_grouped2(
+    ops: GroupedOps,
+    w3: jnp.ndarray,
+    n_cameras: int,
+    *,
+    cp: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Two-phase y = Hcp w; semantics of :func:`hcp_w_grouped`:
+    ``w3`` [3, P] -> y [cp, C]."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    T = ops.superstep
+    G, NCH = ops.n_groups, ops.n_chunks
+    NB = ops.n_blocks
+    assert NB % T == 0, (NB, T)
+    Ppad = NCH * PCH
+    w_p = jnp.zeros((3, Ppad), w3.dtype).at[:, : w3.shape[1]].set(w3)
+    w_p = jax.lax.optimization_barrier(w_p)
+
+    w_specs = [
+        pl.BlockSpec(
+            (3, PCH),
+            lambda bs, bg, bc, t=t: (0, bc[bs * T + t]),
+            memory_space=pltpu.VMEM,
+        )
+        for t in range(T)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB // T,),
+        in_specs=w_specs + [
+            pl.BlockSpec((3 * cp, T, SUB, CGRP),
+                         lambda bs, bg, bc: (0, bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, SUB, CGRP), lambda bs, bg, bc: (bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, SUB, CGRP), lambda bs, bg, bc: (bs, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, CGRP, cp), lambda bs, bg, bc: (bs, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    part = pl.pallas_call(
+        partial(_kb2_kernel, cp, T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, CGRP, cp), jnp.float32),
+        interpret=interpret,
+    )(
+        ops.block_group, ops.block_chunk,
+        *([w_p] * T), ops.b_rows, ops.lpt, ops.lcam,
+    )
+    # Phase 2: per-group reduction (pad blocks wrote w=0 rows -> zeros).
+    oh = (
+        ops.block_group[None, :] == jnp.arange(G, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)                                  # [G, NB]
+    yT = jax.lax.dot_general(
+        oh, part.reshape(NB, CGRP * cp),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(G * CGRP, cp)
+    return yT.T[:, :n_cameras]
 
 
 # ---------------------------------------------------------------------------

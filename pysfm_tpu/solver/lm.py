@@ -300,12 +300,17 @@ class _CMState(struct.PyTreeNode):
     prev_ok: jnp.ndarray    # was the previous step accepted?
 
 
-def make_grouped_ops(cmp):
+def make_grouped_ops(cmp, superstep: int = 4):
     """Build the static grouped-layout kernel operands for a CMProblem
     (host-side, once per problem).  Pass the result to :func:`solve` /
     :func:`solve_cm` as ``gops`` to run the CG matvecs through the
     Pallas kernels (TPU f32; ~an order of magnitude faster than the XLA
-    gather path at BAL scale)."""
+    gather path at BAL scale).
+
+    ``superstep`` > 1 routes the CG matvecs through the two-phase
+    kernels (K_A2/K_B2: ``superstep`` blocks per grid step, per-block
+    partials, one-hot MXU reduce) — the stream is padded with inert
+    blocks to a multiple.  1 recovers the r4 revisiting schedule."""
     import numpy as np
 
     from pysfm_tpu.problem import grouped as grouped_mod
@@ -316,12 +321,16 @@ def make_grouped_ops(cmp):
         cmp.n_cameras, cmp.n_points,
     )
     NB = meta.block_group.shape[0]
+    if superstep > 1 and NB % superstep:
+        NB = -(-NB // superstep) * superstep
+        meta = grouped_mod._append_pad_blocks(meta, NB)
     b0 = jnp.zeros(
         (3 * cmp.cam_dof, NB, grouped_mod.BLK // 128, 128), cmp.dtype
     )
-    return pallas_spmv.device_grouped(
+    ops = pallas_spmv.device_grouped(
         meta, b0, u=cmp.u, v=cmp.v, w=cmp.obs_w
     )
+    return ops.replace(superstep=superstep)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -351,6 +360,7 @@ def cm_lm_loop(
     nu_init=None,
     gops=None,
     axis_name: str | None = None,
+    cam_shards: int = 0,
 ):
     """The CM LM while_loop, parameterized over an optional mesh axis.
 
@@ -360,6 +370,15 @@ def cm_lm_loop(
     state, and every camera-sized or scalar control quantity is psum'd so
     all chips execute the identical accept/reject sequence in lockstep.
     With ``axis_name=None`` it is exactly the single-chip :func:`solve_cm`.
+
+    ``cam_shards`` > 0 (static; requires ``axis_name``) additionally
+    partitions the camera axis of the reduced solve over the same mesh
+    axis: damped camera blocks, reduced rhs, the block-Jacobi Cholesky,
+    and the CG vectors live only on their owner chip
+    (:class:`pysfm_tpu.solver.pcg.CamShard`); the camera *parameters*
+    stay replicated (they are O(C) and every chip's projections need
+    them — partitioning them would trade one [CP, C] all-gather for an
+    identical-size parameter gather per iteration).
     """
     from pysfm_tpu.problem import cm
     from pysfm_tpu.solver import pcg, scale
@@ -486,6 +505,7 @@ def cm_lm_loop(
             gops=gops_it,
             q_tol=config.cg_q_tol,
             precond_terms=config.cg_precond_terms,
+            cam_shards=cam_shards,
         )
         cand = cm.apply_update_cm(p, dc, dp3)
         new_cost = cost_fn(cand)

@@ -145,6 +145,45 @@ def test_sharded_cm_ew_forcing_matches_single_f64(n_shards):
     )
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_cm_camera_axis_matches_single_f64(n_shards):
+    """Camera-axis partitioning (points AND cameras sharded over the 1-D
+    mesh): the camera-sharded reduced solve must equal the single-chip
+    solve to f64 tightness — psum_scatter routes per-chip partials to
+    owner chips and the all-gathered iterate reproduces the replicated
+    matvec exactly up to summation order (C=8 deliberately does not
+    divide 4 shards evenly: pad rows must stay exactly zero)."""
+    cmp = _bal_cm(np.float64)
+    cfg = _cfg(max_iters=4)
+    _, st_ref = solve(cmp, cfg)
+    scm, _ = dist.shard_cm_problem(cmp, n_shards, with_grouped=False)
+    mesh = dist.make_mesh(n_shards)
+    scm, _ = dist.device_put_sharded_cm(scm, None, mesh)
+    out, st = dist.solve_sharded_cm(scm, None, mesh, cfg, cam_axis=True)
+    np.testing.assert_allclose(
+        np.asarray(st.costs), np.asarray(st_ref.costs), rtol=1e-9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.cg_iters), np.asarray(st_ref.cg_iters)
+    )
+
+
+def test_sharded_cm_camera_axis_kernels_match_single():
+    """Camera-axis partition composed with the grouped Pallas kernels
+    (interpret mode on the CPU mesh): the full flagship stack."""
+    cmp = _bal_cm(np.float32)
+    cfg = _cfg(cg_tol=1e-6)
+    gops = make_grouped_ops(cmp)
+    _, st_ref = solve(cmp, cfg, gops=gops)
+    scm, sgops = dist.shard_cm_problem(cmp, 4)
+    mesh = dist.make_mesh(4)
+    scm, sgops = dist.device_put_sharded_cm(scm, sgops, mesh)
+    _, st = dist.solve_sharded_cm(scm, sgops, mesh, cfg, cam_axis=True)
+    np.testing.assert_allclose(
+        np.asarray(st.costs), np.asarray(st_ref.costs), rtol=1e-3
+    )
+
+
 def test_sharded_cm_warm_start_lockstep():
     """CG warm start stays in lockstep across shards (replicated dc)."""
     cmp = _bal_cm(np.float64, seed=11, C=6, P=320)

@@ -89,6 +89,44 @@ def test_hcp_w_grouped(rng, C, P):
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("C,P", [(5, 40), (300, 700), (130, 3000)])
+@pytest.mark.parametrize("T", [2, 4])
+def test_two_phase_matvec_matches_single_block(rng, C, P, T):
+    """K_A2/K_B2 (superstep two-phase schedule) == K_A/K_B on the same
+    stream padded to a block-count multiple of the superstep."""
+    cp = 9
+    obs_cam, obs_pt, B = _random_incidence(rng, C, P, cp=cp)
+    meta0 = grouped.build_grouped(obs_cam, obs_pt, C, P)
+    NB0 = meta0.block_group.shape[0]
+    NB = -(-NB0 // T) * T
+    meta = (
+        grouped._append_pad_blocks(meta0, NB) if NB > NB0 else meta0
+    )
+    M_B = meta.order.shape[0]
+    b_B = np.zeros((B.shape[0], M_B), np.float32)
+    real = meta.order >= 0
+    b_B[:, real] = B[:, meta.order[real]]
+    b_rows = jnp.asarray(
+        b_B.reshape(B.shape[0], NB, grouped.BLK // 128, 128)
+    )
+    ops = pallas_spmv.device_grouped(meta, b_rows)
+    ops2 = ops.replace(superstep=T)
+
+    x = jnp.asarray(rng.standard_normal((cp, C)).astype(np.float32))
+    u1 = pallas_spmv.hcpT_x_grouped(ops, x, cp=cp, interpret=True)
+    u2 = pallas_spmv.hcpT_x_grouped2(ops2, x, cp=cp, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(u2)[:, :P], np.asarray(u1)[:, :P], rtol=2e-4, atol=2e-4
+    )
+
+    w3 = jnp.asarray(rng.standard_normal((3, P)).astype(np.float32))
+    y1 = pallas_spmv.hcp_w_grouped(ops, w3, C, cp=cp, interpret=True)
+    y2 = pallas_spmv.hcp_w_grouped2(ops2, w3, C, cp=cp, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(y1), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_solve_cm_with_grouped_kernels(rng):
     """Full LM solve: grouped-kernel matvecs == XLA-table matvecs."""
     import dataclasses
