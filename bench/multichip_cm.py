@@ -97,6 +97,17 @@ def main():
     c_shard = np.asarray(o_s[0][1].costs, np.float64)
     cost_rel = float(np.max(np.abs(c_shard - c_single) / c_single))
 
+    def sharded_cam():
+        out, st = dist.solve_sharded_cm(
+            scm, sgops, mesh, cfg, cam_axis=True
+        )
+        o_s[0] = (out, st)
+        return out.X3
+
+    t_cam = best_of(sharded_cam)
+    c_cam = np.asarray(o_s[0][1].costs, np.float64)
+    cost_rel_cam = float(np.max(np.abs(c_cam - c_single) / c_single))
+
     C, cp = cmp.n_cameras, cmp.cam_dof
     psum_cg_mb = C * cp * 4 / 1e6
     psum_lm_mb = (C * cp * cp * 2 + C * cp * 2) * 4 / 1e6
@@ -109,6 +120,9 @@ def main():
         "sharded_mesh1_ms_per_iter": round(1e3 * t_shard / args.iters, 1),
         "distribution_overhead": round(t_shard / t_single, 3),
         "cost_curve_rel_err": cost_rel,
+        "cam_axis_mesh1_ms_per_iter": round(1e3 * t_cam / args.iters, 1),
+        "cam_axis_overhead": round(t_cam / t_single, 3),
+        "cam_axis_cost_curve_rel_err": cost_rel_cam,
         "ici_traffic_model": {
             "note": "camera-sized psums only; point-sized state never "
                     "moves (SURVEY §5 long-context analog)",

@@ -76,4 +76,14 @@ scm, _ = multihost.shard_cm_problem_multihost(
 )
 out_cm, stats_cm = dist.solve_sharded_cm(scm, None, mesh, cfg_pcg)
 np.save(out_path + ".cm.npy", np.asarray(jax.device_get(stats_cm.costs)))
+
+# Camera-axis partition across hosts: the reduced camera system sharded
+# over the global (DCN-spanning) mesh axis — SURVEY §2 P4, "keyframes ...
+# partitioned" (r5): psum_scatter / all_gather ride the same mesh.
+_, stats_cam = dist.solve_sharded_cm(
+    scm, None, mesh, cfg_pcg, cam_axis=True
+)
+np.save(
+    out_path + ".cam.npy", np.asarray(jax.device_get(stats_cam.costs))
+)
 jax.distributed.shutdown()

@@ -71,6 +71,11 @@ def test_two_process_solve_matches_single(tmp_path):
     for path in outs:
         got = np.load(path + ".cm.npy")
         np.testing.assert_allclose(got, ref_cm, rtol=1e-8)
+        # Camera-axis partition across the 2 processes (r5): the reduced
+        # camera system sharded over the DCN-spanning mesh axis still
+        # reproduces the single-process solve.
+        got_cam = np.load(path + ".cam.npy")
+        np.testing.assert_allclose(got_cam, ref_cm, rtol=1e-8)
 
 
 def test_initialize_rejects_partial_config(monkeypatch):

@@ -233,6 +233,18 @@ def test_grouped_kernels_compiled_on_tpu():
     print(f"  K_A rel err {err_ka:.3e}; K_B rel err {err_kb:.3e}")
     assert err_ka < 1e-4 and err_kb < 1e-4
 
+    # K_A2 / K_B2 two-phase superstep schedule, compiled on device.
+    u_k2 = np.asarray(
+        pallas_spmv.hcpT_x_grouped2(gops_it, jnp.asarray(x), cp=cp)
+    )[:, :P]
+    err_ka2 = np.max(np.abs(u_k2 - u_ref)) / (np.max(np.abs(u_ref)) + 1.0)
+    y_k2 = np.asarray(
+        pallas_spmv.hcp_w_grouped2(gops_it, jnp.asarray(w3), C, cp=cp)
+    )
+    err_kb2 = np.max(np.abs(y_k2 - y_ref)) / (np.max(np.abs(y_ref)) + 1.0)
+    print(f"  K_A2 rel err {err_ka2:.3e}; K_B2 rel err {err_kb2:.3e}")
+    assert err_ka2 < 1e-4 and err_kb2 < 1e-4
+
     # K_H preconditioner diagonal vs NumPy (through hinv6).
     lam = jnp.asarray(1e-3, jnp.float32)
     hinv6 = scale.sym6_inv(scale.augment6(eqs.hpp6, lam))
@@ -295,6 +307,14 @@ def test_sharded_cm_kernels_mesh1_on_tpu():
     rel = float(np.max(np.abs(c_sh - c_ref) / c_ref))
     print(f"  sharded(mesh=1) vs single costs rel {rel:.2e}")
     assert rel < 1e-3
+
+    # Camera-axis partition on the real chip (mesh=1: the psum_scatter /
+    # all_gather collectives compile and reduce to identity routing).
+    _, st_cam = dist.solve_sharded_cm(scm, sgops, mesh, cfg, cam_axis=True)
+    c_cam = np.asarray(st_cam.costs)
+    rel_cam = float(np.max(np.abs(c_cam - c_ref) / c_ref))
+    print(f"  cam-axis sharded(mesh=1) vs single costs rel {rel_cam:.2e}")
+    assert rel_cam < 1e-3
 
 
 def test_pcg_path_f32_tpu_matches_dense():
