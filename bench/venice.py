@@ -117,6 +117,8 @@ def main():
     seg_iters = 6
     lam = jnp.asarray(cfg.lam0, p.dtype)
     nu = jnp.asarray(2.0, p.dtype)
+    dc = jnp.zeros((p.n_cameras, p.cam_dof), p.dtype)  # CG warm start,
+    # carried across segments (zeros, not None: one trace for all segments)
     cfg_seg = _dc.replace(cfg, max_iters=seg_iters)
     from pysfm_tpu.solver.lm import solve as _solve
 
@@ -135,11 +137,13 @@ def main():
             cfg, max_iters=kk
         )
         t0 = time.perf_counter()
-        q, st = _solve(q, cfg_k, lam_init=lam, nu_init=nu, gops=gops)
+        q, st = _solve(
+            q, cfg_k, lam_init=lam, nu_init=nu, gops=gops, dc_init=dc
+        )
         sync(q.X3)
         seg_ms.append((time.perf_counter() - t0) * 1e3 / kk)
         n_exec += kk
-        lam, nu = st.lam_next, st.nu_next
+        lam, nu, dc = st.lam_next, st.nu_next, st.dc_next
         cs = np.asarray(st.costs, np.float64)
         if not all_costs:
             all_costs.append(cs[:1])

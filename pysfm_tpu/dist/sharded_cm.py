@@ -315,7 +315,7 @@ def solve_sharded_cm(
     )
     stats_spec = LMStats(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
-        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(), dc_next=P(),
     )
     in_specs = (
         (repl, P(), P())

@@ -86,7 +86,7 @@ def solve_sharded(
     )
     stats_spec = LMStats(
         costs=P(), lams=P(), accepted=P(), grad_inf=P(), step_norms=P(),
-        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(),
+        n_iters=P(), lam_next=P(), nu_next=P(), cg_iters=P(), dc_next=P(),
     )
 
     @partial(
@@ -121,6 +121,7 @@ def solve_sharded(
             lam_next=jnp.asarray(config.lam0, dtype),
             nu_next=jnp.asarray(2.0, dtype),
             cg_iters=jnp.zeros((n_it,), jnp.int32),
+            dc_next=jnp.zeros((lp0.n_cameras, lp0.cam_dof), dtype),
         )
         state = (
             sp_local,

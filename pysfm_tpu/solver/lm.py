@@ -48,6 +48,11 @@ class LMStats:
                              # iteration (0 on the dense solver paths) —
                              # the cost-vs-cumulative-CG-work curve of the
                              # adaptive forcing sequence
+    dc_next: jnp.ndarray     # [C, CP] the last camera step — CG warm-start
+                             # state; pass as ``dc_init`` to the next
+                             # segmented/resumed dispatch so the first CG
+                             # run there starts from it instead of zero
+                             # (zeros on the dense paths)
 
 
 class _State(struct.PyTreeNode):
@@ -70,6 +75,7 @@ def solve(
     lam_init=None,
     nu_init=None,
     gops=None,
+    dc_init=None,
 ):
     """Run LM to convergence (or ``config.max_iters``) entirely on device.
 
@@ -80,16 +86,19 @@ def solve(
 
     ``lam_init``/``nu_init`` (runtime scalars, optional) override the
     damping state so a segmented/checkpointed solve continues exactly
-    where a previous dispatch stopped without recompiling per segment.
-    ``gops`` (see :func:`make_grouped_ops`) routes the pcg path's CG
-    matvecs through the grouped Pallas kernels."""
+    where a previous dispatch stopped without recompiling per segment;
+    ``dc_init`` ([C, CP], optional — ``stats.dc_next`` of the previous
+    dispatch) likewise carries the CG warm-start vector across the
+    boundary.  ``gops`` (see :func:`make_grouped_ops`) routes the pcg
+    path's CG matvecs through the grouped Pallas kernels."""
     from pysfm_tpu.problem import cm
 
     if isinstance(prob, cm.CMProblem):
-        return solve_cm(prob, config, lam_init, nu_init, gops)
+        return solve_cm(prob, config, lam_init, nu_init, gops, dc_init)
     if config.solver == "pcg":
         cmp, stats = solve_cm(
-            _from_problem_jit(prob), config, lam_init, nu_init, gops
+            _from_problem_jit(prob), config, lam_init, nu_init, gops,
+            dc_init,
         )
         return _merge_params_jit(prob, cmp), stats
     return _solve_std(prob, config, lam_init, nu_init)
@@ -141,6 +150,7 @@ def _solve_std(
         lam_next=lam0,
         nu_next=nu0,
         cg_iters=jnp.zeros((n_it,), jnp.int32),
+        dc_next=jnp.zeros((prob.n_cameras, prob.cam_dof), dtype),
     )
     state = _State(
         prob=prob,
@@ -340,6 +350,7 @@ def solve_cm(
     lam_init=None,
     nu_init=None,
     gops=None,
+    dc_init=None,
 ):
     """Component-major BAL-scale LM loop (the ``pcg`` solver path).
 
@@ -350,7 +361,7 @@ def solve_cm(
     observation- or point-sized ever materializes with a small minor axis.
     Returns ``(CMProblem, LMStats)``.
     """
-    return cm_lm_loop(cmp, config, lam_init, nu_init, gops)
+    return cm_lm_loop(cmp, config, lam_init, nu_init, gops, dc_init=dc_init)
 
 
 def cm_lm_loop(
@@ -361,6 +372,7 @@ def cm_lm_loop(
     gops=None,
     axis_name: str | None = None,
     cam_shards: int = 0,
+    dc_init=None,
 ):
     """The CM LM while_loop, parameterized over an optional mesh axis.
 
@@ -433,6 +445,12 @@ def cm_lm_loop(
         lam_next=lam0,
         nu_next=nu0,
         cg_iters=jnp.zeros((n_it,), jnp.int32),
+        dc_next=jnp.zeros((cmp.n_cameras, cmp.cam_dof), dtype),
+    )
+    dc0 = (
+        jnp.zeros((cmp.n_cameras, cmp.cam_dof), dtype)
+        if dc_init is None
+        else jnp.asarray(dc_init, dtype)
     )
     state = _CMState(
         prob=cmp,
@@ -442,7 +460,7 @@ def cm_lm_loop(
         it=jnp.asarray(0),
         done=jnp.asarray(False),
         stats=stats,
-        dc_prev=jnp.zeros((cmp.n_cameras, cmp.cam_dof), dtype),
+        dc_prev=dc0,
         eta=jnp.asarray(config.cg_tol_max, dtype),
         grad_prev=jnp.asarray(0.0, dtype),
         prev_ok=jnp.asarray(True),
@@ -586,7 +604,8 @@ def cm_lm_loop(
     it_idx = jnp.arange(n_it + 1)
     costs = jnp.where(it_idx <= final.it, final.stats.costs, final.cost)
     return final.prob, final.stats.replace(
-        costs=costs, lam_next=final.lam, nu_next=final.nu
+        costs=costs, lam_next=final.lam, nu_next=final.nu,
+        dc_next=final.dc_prev,
     )
 
 
@@ -618,6 +637,9 @@ def solve_segmented(
     cfg_seg = dataclasses.replace(config, max_iters=k)
     lam = jnp.asarray(config.lam0, prob.dtype)
     nu = jnp.asarray(2.0, prob.dtype)
+    # CG warm-start vector, carried across segments (r5).  Zeros (not
+    # None) so every segment shares one trace.
+    dc = jnp.zeros((prob.n_cameras, prob.cam_dof), prob.dtype)
     p = prob
     costs = []
     lams, accepted, grad_inf, step_norms, cg_its = [], [], [], [], []
@@ -627,7 +649,9 @@ def solve_segmented(
         cfg_k = cfg_seg if kk == k else dataclasses.replace(
             config, max_iters=kk
         )
-        p, st = solve(p, cfg_k, lam_init=lam, nu_init=nu, gops=gops)
+        p, st = solve(
+            p, cfg_k, lam_init=lam, nu_init=nu, gops=gops, dc_init=dc
+        )
         n_it = int(st.n_iters)
         seg_costs = np.asarray(st.costs)
         if not costs:
@@ -638,7 +662,7 @@ def solve_segmented(
         grad_inf.append(np.asarray(st.grad_inf)[:n_it])
         step_norms.append(np.asarray(st.step_norms)[:n_it])
         cg_its.append(np.asarray(st.cg_iters)[:n_it])
-        lam, nu = st.lam_next, st.nu_next
+        lam, nu, dc = st.lam_next, st.nu_next, st.dc_next
         n_done += n_it
         if n_it < kk:  # converged inside the segment
             break
@@ -652,4 +676,5 @@ def solve_segmented(
         lam_next=np.asarray(lam),
         nu_next=np.asarray(nu),
         cg_iters=np.concatenate(cg_its),
+        dc_next=np.asarray(dc),
     )
