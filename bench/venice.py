@@ -64,6 +64,10 @@ def main():
                          "bal (9-dof: +f,k1,k2)")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent compilation cache")
+    ap.add_argument("--no-reuse", action="store_true",
+                    help="rebuild the linearization every iteration even "
+                         "after rejected steps (A/B for "
+                         "LMConfig.reuse_linearization)")
     args = ap.parse_args()
 
     if not args.no_cache:
@@ -92,6 +96,7 @@ def main():
         obs_chunk=args.obs_chunk,
         cg_forcing=args.forcing, cg_q_tol=args.q_tol,
         cg_precond_terms=args.precond_terms,
+        reuse_linearization=not args.no_reuse,
     )
     gops = None
     if not args.no_kernels:
@@ -220,6 +225,7 @@ def main():
             [int(g), float(c)] for g, c in zip(cum_cg, costs)
         ],
         "kernels": not args.no_kernels,
+        "reuse_linearization": not args.no_reuse,
         "obs_chunk": args.obs_chunk,
         "scene_build_s": round(t_build, 1),
         "compile_s": round(t_first - dt, 1),

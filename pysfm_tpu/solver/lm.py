@@ -308,6 +308,12 @@ class _CMState(struct.PyTreeNode):
     eta: jnp.ndarray      # CG tolerance used last iteration (EW forcing)
     grad_prev: jnp.ndarray  # |g|_inf of the previous linearization
     prev_ok: jnp.ndarray    # was the previous step accepted?
+    eqs: "object"           # carried linearization (ScaleEqs) — valid for
+                            # `prob`; reused after a rejected step instead
+                            # of rebuilding (config.reuse_linearization).
+                            # None when the carry is disabled.
+    b_rows: "object"        # carried grouped coupling rows (kernel path);
+                            # [0]-shaped dummy on the XLA-table path
 
 
 def make_grouped_ops(cmp, superstep: int = 4):
@@ -424,6 +430,23 @@ def cm_lm_loop(
     else:
         cost_local = lambda q: scale.cost_scale_cm(q, config.obs_chunk)  # noqa: E731
     cost_fn = lambda q: psum(cost_local(q))  # noqa: E731
+
+    def build_lin(q):
+        """(eqs, b_rows) linearized at q — b_rows is a [0] dummy on the
+        XLA-table path so both build routes carry one pytree structure."""
+        if gops is not None:
+            eqs, b_rows = pallas_spmv.build_eqs_grouped(
+                gops, cm.cam_table(q), q.X3, q.robust_scale,
+                cp=q.cam_dof, model=q.camera_model, robust=q.robust,
+                n_cameras=q.n_cameras, n_points=q.n_points,
+            )
+            return eqs, b_rows
+        return (
+            scale.build_normal_equations_scale_cm(q, config.obs_chunk),
+            jnp.zeros((0,), jnp.float32),
+        )
+
+    reuse_lin = config.reuse_linearization
     init_cost = cost_fn(cmp)
     lam0 = (
         jnp.asarray(config.lam0, dtype)
@@ -452,6 +475,10 @@ def cm_lm_loop(
         if dc_init is None
         else jnp.asarray(dc_init, dtype)
     )
+    # With the carry enabled, the initial linearization is hoisted out of
+    # the loop: the loop body then rebuilds only after ACCEPTED steps, so
+    # the total number of builds is (accepted + 1) instead of (iterations).
+    eqs0, b_rows0 = build_lin(cmp) if reuse_lin else (None, None)
     state = _CMState(
         prob=cmp,
         lam=lam0,
@@ -464,6 +491,8 @@ def cm_lm_loop(
         eta=jnp.asarray(config.cg_tol_max, dtype),
         grad_prev=jnp.asarray(0.0, dtype),
         prev_ok=jnp.asarray(True),
+        eqs=eqs0,
+        b_rows=b_rows0,
     )
 
     def cond(s: _CMState):
@@ -471,20 +500,26 @@ def cm_lm_loop(
 
     def body(s: _CMState) -> _CMState:
         p = s.prob
-        if gops is not None:
-            # Fused grouped build (K_E): payload + both block reductions in
-            # one pass over the grouped stream; the coupling rows never
-            # materialize in point-sorted order (eqs.B_cm is None, which
-            # routes build_pcg_system to the K_H/K_B grouped system build).
-            eqs, b_rows = pallas_spmv.build_eqs_grouped(
-                gops, cm.cam_table(p), p.X3, p.robust_scale,
-                cp=p.cam_dof, model=p.camera_model, robust=p.robust,
-                n_cameras=p.n_cameras, n_points=p.n_points,
+        # Fused grouped build (K_E) on the kernel path: payload + both
+        # block reductions in one pass over the grouped stream; the
+        # coupling rows never materialize in point-sorted order (eqs.B_cm
+        # is None, which routes build_pcg_system to the K_H/K_B grouped
+        # system build).  After a REJECTED step the parameters are
+        # unchanged, so the carried (eqs, b_rows) are already exactly the
+        # linearization at p — skip the rebuild (the predicate is
+        # replicated in the distributed loop, so all chips branch
+        # together and no collective sits inside the cond).
+        if reuse_lin:
+            need_build = jnp.logical_and(s.prev_ok, s.it > 0)
+            eqs, b_rows = jax.lax.cond(
+                need_build,
+                lambda _: build_lin(p),
+                lambda _: (s.eqs, s.b_rows),
+                None,
             )
-            gops_it = gops.replace(b_rows=b_rows)
         else:
-            eqs = scale.build_normal_equations_scale_cm(p, config.obs_chunk)
-            gops_it = None
+            eqs, b_rows = build_lin(p)
+        gops_it = None if gops is None else gops.replace(b_rows=b_rows)
         grad_inf = jnp.maximum(
             jnp.max(jnp.abs(psum(eqs.g_c))),
             pmax(jnp.max(jnp.abs(eqs.g_p))),
@@ -598,6 +633,8 @@ def cm_lm_loop(
             eta=eta_i,
             grad_prev=grad_inf,
             prev_ok=ok,
+            eqs=eqs if reuse_lin else None,
+            b_rows=b_rows if reuse_lin else None,
         )
 
     final = jax.lax.while_loop(cond, body, state)

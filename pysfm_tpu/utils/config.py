@@ -74,6 +74,23 @@ class LMConfig:
     # CG exits after a handful of iterations regardless of the residual
     # tolerance — the complementary half of the adaptive forcing.
     cg_q_tol: float = 0.0
+    # Reuse the linearization across rejected steps (pcg solver only).
+    # A rejected LM step leaves the parameters unchanged, so the normal
+    # equations and coupling rows of the NEXT iteration are bitwise the
+    # ones just computed; rebuilding them (the single most expensive
+    # non-CG stage — ~31 ms/iter at Venice scale) buys nothing.  The loop
+    # carries (eqs, b_rows) in the while_loop state and a lax.cond skips
+    # the rebuild after a reject.  Within one executable the reuse is
+    # exact (the rebuild is deterministic, so the carried values ARE what
+    # a rebuild would produce); flipping this flag recompiles, and the
+    # two TPU executables can differ by f32 fusion rounding (measured:
+    # identical cost curves for 16/18 Venice iterations, then one
+    # accept-threshold tie; final costs within 5 ulps — see
+    # VENICE_REUSE_r05.json).  On CPU the on/off trajectories are
+    # bitwise equal (tests/test_pcg.py).  Cost: the carried buffers live
+    # across iterations (~0.5 GB at 5M obs, vs a transient of the same
+    # size the rebuild allocates anyway).
+    reuse_linearization: bool = True
     # Power-series preconditioner terms (1 = exact block-Jacobi; m > 1
     # adds m-1 Neumann-series terms of S^-1 around its block diagonal at
     # one extra S-matvec per CG iteration per term — see

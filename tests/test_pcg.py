@@ -175,3 +175,37 @@ def test_sharded_pcg_matches_single_device(scene):
         np.asarray(st_shard.costs)[-1], np.asarray(st_single.costs)[-1],
         rtol=1e-6,
     )
+
+
+def test_reject_reuses_linearization_bitwise():
+    """A rejected LM step leaves the parameters unchanged, so the loop may
+    carry (eqs, b_rows) across the reject instead of rebuilding
+    (LMConfig.reuse_linearization).  The trajectory must be BITWISE the
+    no-carry one — the rebuild is deterministic, so any deviation means the
+    carry is reusing a stale linearization."""
+    from pysfm_tpu.problem import cm
+
+    sc = synthetic.make_scene(
+        12, 600, noise_px=1.0, outlier_frac=0.1, outlier_px=60.0,
+        visibility=0.5, robust="cauchy", robust_scale=2.0,
+        perturb_rot=0.15, perturb_trans=0.3, perturb_point=0.3, seed=3,
+        dtype=np.float32,  # f32: LM hits its accept plateau -> real rejects
+    )
+    cmp = cm.from_problem(sc.problem)
+    cfg = LMConfig(
+        max_iters=40, solver="pcg", cg_iters=30, cg_tol=1e-2,
+        cg_forcing="ew", cg_q_tol=0.3,
+        tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+    )
+    _, st_reuse = solve(cmp, cfg)
+    _, st_rebuild = solve(
+        cmp, dataclasses.replace(cfg, reuse_linearization=False)
+    )
+    acc = np.asarray(st_reuse.accepted)
+    assert (~acc).any(), "scene produced no rejects; test exercises nothing"
+    np.testing.assert_array_equal(
+        np.asarray(st_reuse.costs), np.asarray(st_rebuild.costs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_reuse.cg_iters), np.asarray(st_rebuild.cg_iters)
+    )
