@@ -64,6 +64,10 @@ def main():
                          "bal (9-dof: +f,k1,k2)")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent compilation cache")
+    ap.add_argument("--bf16-rows", action="store_true",
+                    help="store the per-iteration coupling rows in "
+                         "bfloat16 (halves the CG matvec DMA stream; "
+                         "kernel arithmetic stays f32)")
     ap.add_argument("--no-reuse", action="store_true",
                     help="rebuild the linearization every iteration even "
                          "after rejected steps (A/B for "
@@ -101,7 +105,8 @@ def main():
     gops = None
     if not args.no_kernels:
         t0 = time.perf_counter()
-        gops = make_grouped_ops(p)
+        rows_dtype = jnp.bfloat16 if args.bf16_rows else None
+        gops = make_grouped_ops(p, rows_dtype=rows_dtype)
         print(f"# grouped layout: NB={gops.n_blocks} "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
     # Segmented dispatch: a single while_loop dispatch that runs for

@@ -141,6 +141,12 @@ def _take1(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
+def _f32(x):
+    """Widen a coupling-row tile to f32 (no-op for f32 rows; a VPU cast
+    for the opt-in bf16 rows — all arithmetic stays f32)."""
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+
 def permute_b_rows(B_cm: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     """Permute per-LM-iteration coupling rows ``B_cm [3*CP, M]`` (point-
     sorted order) into the grouped stream: returns [3*CP, NB, SUB, CGRP]
@@ -276,9 +282,9 @@ def _ka_kernel(cp, max_run, bg, bc, cf, rt, x_ref, b_ref, lc_ref, ss_ref,
 
     qrows = []
     for s in range(3):
-        q = b_ref[s * cp, 0] * xg[0]
+        q = _f32(b_ref[s * cp, 0]) * xg[0]
         for d in range(1, cp):
-            q = q + b_ref[s * cp + d, 0] * xg[d]
+            q = q + _f32(b_ref[s * cp + d, 0]) * xg[d]
         qrows.append(q)
     vrows = _seg_scan(qrows, ss_ref[0], max_run)
     _route_to_ref(o_ref, 0, vrows, se_ref[0], rt[b])
@@ -380,9 +386,9 @@ def _kb_kernel(cp, bg, bc, gf, w_ref, b_ref, lp_ref, lc_ref, o_ref):
     # q2[d] = sum_s B(d, s) wg[s]  (B rows are s-major: row s*cp + d).
     q2 = []
     for d in range(cp):
-        acc = b_ref[d, 0] * wg[0]
+        acc = _f32(b_ref[d, 0]) * wg[0]
         for s in range(1, 3):
-            acc = acc + b_ref[s * cp + d, 0] * wg[s]
+            acc = acc + _f32(b_ref[s * cp + d, 0]) * wg[s]
         q2.append(acc)
     # One-hot camera reduction on the MXU, accumulated transposed:
     # Y[c, d] += sum_m [lcam[m] == c] q2[d][m], per sublane row.
@@ -503,9 +509,9 @@ def _ka2_kernel(cp, T, max_run, bg, rt, *refs):
         xg = [_take1(xs[t][d], lc) for d in range(cp)]
         qrows = []
         for s in range(3):
-            q = b_ref[s * cp, t] * xg[0]
+            q = _f32(b_ref[s * cp, t]) * xg[0]
             for d in range(1, cp):
-                q = q + b_ref[s * cp + d, t] * xg[d]
+                q = q + _f32(b_ref[s * cp + d, t]) * xg[d]
             qrows.append(q)
         vrows = _seg_scan(qrows, ss_ref[t], max_run)
         o_ref[t] = jnp.zeros((3, PCH), jnp.float32)
@@ -592,9 +598,9 @@ def _kb2_kernel(cp, T, bg, bc, *refs):
         wg = _chunk_fill(ws[t], lp, 3)
         q2 = []
         for d in range(cp):
-            acc = b_ref[d, t] * wg[0]
+            acc = _f32(b_ref[d, t]) * wg[0]
             for s in range(1, 3):
-                acc = acc + b_ref[s * cp + d, t] * wg[s]
+                acc = acc + _f32(b_ref[s * cp + d, t]) * wg[s]
             q2.append(acc)
         o_ref[t] = _onehot_cam_reduce(q2, lc)
 
@@ -688,9 +694,9 @@ def _kd_kernel(cp, dc_rows, model, robust, bg, bc, rs_ref,
     wq = w_ref[0] * robust_mod.weight(robust, ssum, rs_ref[0])
     for k in range(3):
         for d in range(cp):
-            o_ref[k * cp + d, 0] = wq * (
-                Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k]
-            )
+            o_ref[k * cp + d, 0] = (
+                wq * (Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k])
+            ).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("cp", "model", "robust", "interpret"))
@@ -756,7 +762,9 @@ def payload_b_grouped(
     return pl.pallas_call(
         partial(_kd_kernel, cp, Dc, model, robust),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3 * cp, NB, SUB, CGRP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (3 * cp, NB, SUB, CGRP), ops.b_rows.dtype
+        ),
         interpret=interpret,
     )(
         ops.block_group, ops.block_chunk, rs,
@@ -790,12 +798,14 @@ def _ke_kernel(cp, dc_rows, model, robust, max_run, bg, bc, cf, gf, rt,
     wr0 = wq * r0
     wr1 = wq * r1
 
-    # Coupling rows (identical to K_D).
+    # Coupling rows (identical to K_D).  The store casts to the ref's
+    # dtype: bf16 rows (opt-in, see make_grouped_ops rows_dtype) halve
+    # the dominant DMA stream of the CG matvec kernels.
     for k in range(3):
         for d in range(cp):
-            ob_ref[k * cp + d, 0] = wq * (
-                Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k]
-            )
+            ob_ref[k * cp + d, 0] = (
+                wq * (Jc[0][d] * Jp[0][k] + Jc[1][d] * Jp[1][k])
+            ).astype(ob_ref.dtype)
 
     # Camera-side rows (packed lower-tri Hcc, then g_c), one-hot reduced
     # per camera group (accumulated across the group's blocks).
@@ -920,7 +930,9 @@ def build_eqs_grouped(
         partial(_ke_kernel, cp, Dc, model, robust, ops.max_run),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((3 * cp, NB, SUB, CGRP), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (3 * cp, NB, SUB, CGRP), ops.b_rows.dtype
+            ),
             jax.ShapeDtypeStruct((G * CGRP, rc), jnp.float32),
             jax.ShapeDtypeStruct((G, 9, NCH * PCH), jnp.float32),
         ),
@@ -959,7 +971,9 @@ def _kh_kernel(cp, bg, bc, gf, hinv_ref, b_ref, lp_ref, lc_ref, o_ref):
     lc = lc_ref[0]
     a, bb, c_, d_, e, f = _chunk_fill(hinv_ref, lp, 6)
     # B columns per camera dof: B(d, s) = b_ref[s*cp + d].
-    Bs = [[b_ref[s * cp + d, 0] for d in range(cp)] for s in range(3)]
+    Bs = [
+        [_f32(b_ref[s * cp + d, 0]) for d in range(cp)] for s in range(3)
+    ]
     BH = []
     for d in range(cp):
         B0, B1, B2 = Bs[0][d], Bs[1][d], Bs[2][d]

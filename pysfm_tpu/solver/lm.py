@@ -316,7 +316,7 @@ class _CMState(struct.PyTreeNode):
                             # [0]-shaped dummy on the XLA-table path
 
 
-def make_grouped_ops(cmp, superstep: int = 4):
+def make_grouped_ops(cmp, superstep: int = 4, rows_dtype=None):
     """Build the static grouped-layout kernel operands for a CMProblem
     (host-side, once per problem).  Pass the result to :func:`solve` /
     :func:`solve_cm` as ``gops`` to run the CG matvecs through the
@@ -326,7 +326,17 @@ def make_grouped_ops(cmp, superstep: int = 4):
     ``superstep`` > 1 routes the CG matvecs through the two-phase
     kernels (K_A2/K_B2: ``superstep`` blocks per grid step, per-block
     partials, one-hot MXU reduce) — the stream is padded with inert
-    blocks to a multiple.  1 recovers the r4 revisiting schedule."""
+    blocks to a multiple.  1 recovers the r4 revisiting schedule.
+
+    ``rows_dtype`` sets the storage dtype of the per-iteration coupling
+    rows ``b_rows`` (default: the problem dtype, i.e. f32).
+    ``jnp.bfloat16`` halves the dominant DMA stream of the CG matvec
+    kernels (and the rows' HBM residency); all kernel arithmetic stays
+    f32 — only the stored rows are rounded, so the CG operator S-tilde is
+    a fixed bf16-rounded S.  The induced relative operator error (~4e-3)
+    sits inside the adaptive forcing tolerance (cg_tol 1e-2), making this
+    safe with the ew/q-termination configuration; the reduced rhs, Hcc,
+    and preconditioner inputs are built in f32 by K_E regardless."""
     import numpy as np
 
     from pysfm_tpu.problem import grouped as grouped_mod
@@ -341,7 +351,8 @@ def make_grouped_ops(cmp, superstep: int = 4):
         NB = -(-NB // superstep) * superstep
         meta = grouped_mod._append_pad_blocks(meta, NB)
     b0 = jnp.zeros(
-        (3 * cmp.cam_dof, NB, grouped_mod.BLK // 128, 128), cmp.dtype
+        (3 * cmp.cam_dof, NB, grouped_mod.BLK // 128, 128),
+        cmp.dtype if rows_dtype is None else rows_dtype,
     )
     ops = pallas_spmv.device_grouped(
         meta, b0, u=cmp.u, v=cmp.v, w=cmp.obs_w

@@ -329,3 +329,42 @@ def test_cost_grouped_matches_scale_cost(rng):
     ))
     c_ref = float(scale.cost_scale_cm(p, 0))
     np.testing.assert_allclose(c_k, c_ref, rtol=2e-5)
+
+
+def test_bf16_rows_solve_tracks_f32():
+    """Opt-in bf16 coupling rows (make_grouped_ops rows_dtype): storage is
+    bf16, kernel arithmetic f32 — the CG operator is a fixed bf16-rounded
+    S whose ~4e-3 relative rounding sits inside the cg_tol=1e-2 forcing
+    tolerance.  The LM trajectory must track the f32-rows one; measured on
+    hardware the final costs agree to ~5e-6 relative (BF16_ROWS_r05.json).
+    Memory: halves the dominant per-iteration buffer (b_rows)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from pysfm_tpu.pipeline import synthetic
+    from pysfm_tpu.problem import cm
+    from pysfm_tpu.solver import LMConfig, solve
+    from pysfm_tpu.solver.lm import make_grouped_ops
+
+    sc = synthetic.make_scene(
+        10, 400, noise_px=0.5, visibility=0.5, robust="huber",
+        robust_scale=2.0, seed=3, dtype=np.float32,
+    )
+    cmp = cm.from_problem(sc.problem)
+    g32 = make_grouped_ops(cmp)
+    g16 = make_grouped_ops(cmp, rows_dtype=jnp.bfloat16)
+    assert g16.b_rows.dtype == jnp.bfloat16
+    assert g16.b_rows.nbytes == g32.b_rows.nbytes // 2
+    cfg = LMConfig(
+        max_iters=12, solver="pcg", cg_iters=20, cg_tol=1e-2,
+        cg_forcing="ew", cg_q_tol=0.3,
+        tol_grad=0.0, tol_cost_rel=0.0, tol_step=0.0,
+    )
+    _, s32 = solve(cmp, cfg, gops=g32)
+    _, s16 = solve(cmp, cfg, gops=g16)
+    c32 = np.asarray(s32.costs, np.float64)
+    c16 = np.asarray(s16.costs, np.float64)
+    rel = np.abs(c16 - c32) / np.maximum(np.abs(c32), 1.0)
+    assert rel.max() < 5e-3, rel.max()     # whole-trajectory tracking
+    assert rel[-1] < 1e-4, rel[-1]         # same converged cost
